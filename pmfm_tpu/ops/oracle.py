@@ -1,0 +1,124 @@
+"""NumPy "CPU reference" twin of the ops layer — the FFTW-path ground truth.
+
+This mirrors the reference CPU implementation semantics
+(Objective::synthesiseAudio* Evolutionary_Strategy.hpp:368-495,
+Objective::calculateFFT :524-542) with an actual float32 wavetable and
+truncating table lookups, exactly like the C++ code. It exists so the JAX/TPU
+pipeline can be golden-tested against an independent scalar implementation
+(SURVEY.md §4 test-strategy item (b)); it is deliberately slow and never used
+in the production path.
+
+Deviations from the C++ (documented quirks, SURVEY.md §7.4):
+* phase accumulators reset to zero per candidate (the C++ Objective carries
+  them across calls via member variables — GPU kernels reset them, so the
+  GPU/zero-reset behaviour is the intended semantics);
+* scaling uses mins + v*(maxs-mins) (the GPU/scaleParams form); the C++
+  synthesiseAudio* uses v*maxs which is identical for the all-zero mins the
+  reference always runs with.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .wavetable import DEFAULT_SAMPLE_RATE, DEFAULT_WAVETABLE_SIZE, build_wavetable
+
+
+def scale_params_np(values, mins, maxs):
+    values = np.asarray(values, np.float32)
+    return np.asarray(mins, np.float32) + values * (
+        np.asarray(maxs, np.float32) - np.asarray(mins, np.float32)
+    )
+
+
+class OracleObjective:
+    """Scalar float32 mirror of the reference Objective."""
+
+    def __init__(
+        self,
+        n_samples: int,
+        wavetable_size: int = DEFAULT_WAVETABLE_SIZE,
+        sample_rate: int = DEFAULT_SAMPLE_RATE,
+        num_bins: int | None = None,
+    ):
+        self.n = int(n_samples)
+        self.wavetable = build_wavetable(wavetable_size)
+        self.wavetable_size = wavetable_size
+        self.w2sr = np.float32(wavetable_size / float(sample_rate))
+        self.num_bins = self.n // 2 if num_bins is None else int(num_bins)
+        i = np.arange(self.n, dtype=np.float64)
+        self.window = 1.0 - np.cos(i * (1.0 / self.n - 1.0) * 2.0 * math.pi)
+        self.window_factor = float(self.window.sum() / self.n)
+        self.norm = np.float32((1.0 / self.n) * (1.0 / self.window_factor))
+
+    # -- synthesis ---------------------------------------------------------
+    def _osc(self, pos: np.float32) -> np.float32:
+        return self.wavetable[int(pos)]
+
+    def synthesize(self, params_scaled, topology: str = "fm3_series") -> np.ndarray:
+        p = np.asarray(params_scaled, np.float32)
+        out = np.zeros(self.n, np.float32)
+        size = np.float32(self.wavetable_size)
+        w2sr = self.w2sr
+        if topology == "fm2":
+            m = np.float32(p[0] * p[1])
+            cf, amp = np.float32(p[2]), np.float32(p[3])
+            inc1 = np.float32(w2sr * p[0])
+            pos1 = pos2 = np.float32(0.0)
+            for i in range(self.n):
+                cur = np.float32(self._osc(pos1) * m + cf)
+                pos1 = np.float32(pos1 + inc1)
+                if pos1 >= size:
+                    pos1 = np.float32(pos1 - size)
+                out[i] = np.float32(self._osc(pos2) * amp)
+                pos2 = np.float32(pos2 + w2sr * cur)
+                if pos2 >= size:
+                    pos2 = np.float32(pos2 - size)
+                if pos2 < 0.0:
+                    pos2 = np.float32(pos2 + size)
+        elif topology == "fm3_series":
+            m1 = np.float32(p[0] * p[1])
+            m2 = np.float32(p[2] * p[3])
+            m3 = np.float32(p[4] * p[5])
+            c1, c2 = np.float32(p[3]), np.float32(p[5])
+            inc1 = np.float32(w2sr * p[1])
+            pos1 = pos2 = pos3 = np.float32(0.0)
+            for i in range(self.n):
+                cur1 = np.float32(self._osc(pos1) * m1 + c1)
+                pos1 = np.float32(pos1 + inc1)
+                if pos1 >= size:
+                    pos1 = np.float32(pos1 - size)
+                cur2 = np.float32(self._osc(pos2) * m2 + c2)
+                pos2 = np.float32(pos2 + w2sr * cur1)
+                if pos2 >= size:
+                    pos2 = np.float32(pos2 - size)
+                if pos2 < 0.0:
+                    pos2 = np.float32(pos2 + size)
+                out[i] = np.float32(self._osc(pos3) * m3)
+                pos3 = np.float32(pos3 + w2sr * cur2)
+                if pos3 >= size:
+                    pos3 = np.float32(pos3 - size)
+                if pos3 < 0.0:
+                    pos3 = np.float32(pos3 + size)
+        elif topology == "fm3_parallel":
+            p = p.reshape(3, 4)
+            acc = np.stack([self.synthesize(p[j], "fm2") for j in range(3)])
+            # average of the three 2-op pairs (Evolutionary_Strategy.hpp:493)
+            out = ((acc[0] + acc[1] + acc[2]) / np.float32(3.0)).astype(np.float32)
+        else:
+            raise ValueError(topology)
+        return out
+
+    # -- spectrum / fitness ------------------------------------------------
+    def magnitude_spectrum(self, audio: np.ndarray) -> np.ndarray:
+        """Objective::calculateFFT: double-precision window+FFT, float32
+        magnitude normalisation (Evolutionary_Strategy.hpp:524-542)."""
+        windowed = audio.astype(np.float64) * self.window
+        spec = np.fft.rfft(windowed)[: self.num_bins]
+        raw = np.hypot(spec.real, spec.imag).astype(np.float32)
+        return (raw * self.norm).astype(np.float32)
+
+    def fitness(self, spectrum: np.ndarray, target: np.ndarray) -> np.float32:
+        d = spectrum.astype(np.float64) - target.astype(np.float64)
+        return np.float32(np.sum(d * d))

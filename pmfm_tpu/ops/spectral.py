@@ -1,0 +1,163 @@
+"""Windowing, magnitude spectra and the L2 spectral fitness.
+
+Reference semantics being reproduced:
+
+* Hann-like window ``w[i] = 1 - cos(i * (1/N - 1) * 2*pi)`` computed in double
+  (Evolutionary_Strategy.hpp:308-314). For integer ``i`` this is *exactly*
+  ``1 - cos(2*pi*i/N)`` (the extra ``-2*pi*i`` term is a whole number of
+  turns); we keep the reference formula in float64 so the window factor
+  matches to the ulp.
+* ``windowFactor = sum(w)/N`` and magnitudes normalised by
+  ``(1/N) * (1/windowFactor)`` (Evolutionary_Strategy.hpp:309-317, 535-541).
+* Fitness: sum of squared differences between the candidate's normalised
+  magnitude spectrum and the target's over the first ``N/2`` bins — the CPU
+  ground-truth definition (Evolutionary_Strategy_CPU.hpp:228-280). The OpenCL
+  kernel iterates to ``N/2+3`` bins, reading past the target buffer
+  (kernels/ocl_program.cl:606-614) — a documented quirk (SURVEY.md §7.4) we
+  deliberately do not copy; ``num_bins`` is configurable (``N//2`` default,
+  ``N//2+1`` for the full rfft band).
+
+Two spectrum engines, selected by ``method``:
+
+* ``"rfft"`` — ``jnp.fft.rfft`` over the time axis (XLA FFT).
+* ``"dft"``  — real DFT as two MXU matmuls against precomputed
+    ``window ⊙ cos/sin`` matrices. Batched 1-2K-point FFTs are too small to
+    keep a TPU busy through the FFT lowering, while a (pop x N) @ (N x bins)
+    matmul is exactly what the MXU is built for; the Hann window *and* the
+    ``1/(N*windowFactor)`` normalisation are folded into the DFT matrices so
+    window+FFT+magnitude-normalise collapse into two matmuls and one hypot.
+    This subsumes the reference's separate applyWindowPopulation and clFFT
+    stages (SURVEY.md §2.2 stages 5-6).
+
+All functions take audio **time-major** ``(N, pop)`` to match synthesis.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SPECTRUM_METHODS = ("rfft", "dft")
+
+
+def hann_window(n: int) -> np.ndarray:
+    """Reference window, float64: Evolutionary_Strategy.hpp:310-314."""
+    i = np.arange(n, dtype=np.float64)
+    return 1.0 - np.cos(i * (1.0 / n - 1.0) * 2.0 * math.pi)
+
+
+def window_factor(n: int) -> float:
+    """windowFactor = sum(w)/N (Evolutionary_Strategy.hpp:309-316); ~1.0."""
+    return float(hann_window(n).sum() / n)
+
+
+def default_num_bins(n: int) -> int:
+    """CPU ground-truth bin count fftHalfSize = N/2
+    (Evolutionary_Strategy.hpp:264, Evolutionary_Strategy_CPU.hpp:235)."""
+    return n // 2
+
+
+class SpectrumOps(NamedTuple):
+    """Precomputed constants for one FFT size."""
+
+    n: int
+    num_bins: int
+    window: jax.Array  # (N,) float32
+    norm: float  # (1/N) * (1/windowFactor)
+    dft_cos: jax.Array | None  # (N, num_bins) window & norm folded in
+    dft_sin: jax.Array | None
+    method: str
+    dft_dtype: jnp.dtype | None
+
+
+def make_spectrum_ops(
+    n: int,
+    num_bins: int | None = None,
+    method: str = "dft",
+    dft_dtype=jnp.float32,
+) -> SpectrumOps:
+    if method not in SPECTRUM_METHODS:
+        raise ValueError(f"method must be one of {SPECTRUM_METHODS}")
+    if num_bins is None:
+        num_bins = default_num_bins(n)
+    w = hann_window(n)
+    norm = 1.0 / (n * window_factor(n))
+    dft_cos = dft_sin = None
+    if method == "dft":
+        t = np.arange(n, dtype=np.float64)[:, None]
+        k = np.arange(num_bins, dtype=np.float64)[None, :]
+        ang = 2.0 * math.pi * t * k / n
+        # window and magnitude normalisation folded in:
+        #   re[k] = sum_n a[n] w[n] cos(..) * norm ; im likewise
+        dft_cos = jnp.asarray((np.cos(ang) * w[:, None] * norm).astype(dft_dtype))
+        dft_sin = jnp.asarray((-np.sin(ang) * w[:, None] * norm).astype(dft_dtype))
+    return SpectrumOps(
+        n=n,
+        num_bins=num_bins,
+        window=jnp.asarray(w.astype(np.float32)),
+        norm=float(norm),
+        dft_cos=dft_cos,
+        dft_sin=dft_sin,
+        method=method,
+        dft_dtype=dft_dtype,
+    )
+
+
+def magnitude_spectrum(audio_tm: jax.Array, ops: SpectrumOps) -> jax.Array:
+    """Normalised magnitude spectrum of time-major audio.
+
+    Args:
+      audio_tm: ``(N, pop)`` float32.
+    Returns:
+      ``(pop, num_bins)`` float32 — ``|rfft(w*a)| / (N * windowFactor)``,
+      mirroring Objective::calculateFFT (Evolutionary_Strategy.hpp:524-542).
+    """
+    if ops.method == "rfft":
+        windowed = audio_tm * ops.window[:, None]
+        spec = jnp.fft.rfft(windowed, axis=0)[: ops.num_bins]  # (bins, pop)
+        return (jnp.abs(spec).astype(jnp.float32) * jnp.float32(ops.norm)).T
+    # dft: contract over time without transposing the audio. precision=HIGHEST
+    # keeps true-f32 MXU passes when inputs are f32 (the default "fastest"
+    # lets XLA drop to bf16 multiplies, which costs ~1e-3 relative spectral
+    # error — outside the BASELINE.md 1e-3 parity bound). With bf16 inputs the
+    # flag is a no-op and the matmul runs at full bf16 MXU rate.
+    a = audio_tm.astype(ops.dft_dtype)
+    dn = (((0,), (0,)), ((), ()))
+    re = jax.lax.dot_general(
+        a, ops.dft_cos, dn,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )  # (pop, bins)
+    im = jax.lax.dot_general(
+        a, ops.dft_sin, dn,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.sqrt(re * re + im * im)
+
+
+def target_spectrum(target_audio: jax.Array, ops: SpectrumOps) -> jax.Array:
+    """Spectrum of one target frame — setTargetAudio / Objective::calculateFFT
+    (Evolutionary_Strategy_OpenCL.hpp:563-570). Returns ``(num_bins,)``."""
+    return magnitude_spectrum(target_audio[:, None], ops)[0]
+
+
+def spectral_fitness(spectra: jax.Array, target: jax.Array) -> jax.Array:
+    """L2 spectral error per candidate.
+
+    ``err_p = sum_k (spectra[p,k] - target[k])^2`` — fitnessPopulation
+    (kernels/ocl_program.cl:594-659, CPU: Evolutionary_Strategy_CPU.hpp:228-280).
+
+    Args:
+      spectra: ``(pop, bins)``; target: ``(bins,)``.
+    Returns: ``(pop,)`` float32.
+    """
+    d = spectra - target[None, :]
+    return jnp.sum(d * d, axis=-1)
+
+
+def evaluate_fitness(audio_tm: jax.Array, target: jax.Array, ops: SpectrumOps) -> jax.Array:
+    """window -> spectrum -> L2 error, fused. ``(N,pop),(bins,) -> (pop,)``."""
+    return spectral_fitness(magnitude_spectrum(audio_tm, ops), target)

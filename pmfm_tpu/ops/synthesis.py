@@ -1,0 +1,161 @@
+"""FM synthesis topologies, TPU-native.
+
+The reference evaluates one GPU thread per candidate, each running a
+sequential per-sample phase recurrence (kernels/ocl_program.cl:280-443 and the
+CPU ground truth Objective::synthesiseAudio* in
+Evolutionary_Strategy.hpp:368-495). The loop-carried dependency
+(``pos += k * cur_sample``) makes time inherently sequential, so the
+TPU-native mapping is: ``lax.scan`` over time, with every per-step op
+vectorised across the whole population on the VPU (population = lane axis).
+
+Three topologies (model families), semantics = CPU ground truth:
+
+* ``fm2``          — 2-operator FM, 4 params  [modFreq, modIdx, carrierFreq, amp]
+                     (Evolutionary_Strategy.hpp:368-402)
+* ``fm3_series``   — 3-operator serial chain, 6 params — the variant the
+                     reference actually benchmarks (kernel list
+                     Evolutionary_Strategy_OpenCL.hpp:117)
+                     (Evolutionary_Strategy.hpp:403-449)
+* ``fm3_parallel`` — 3 x 2-operator pairs averaged, 12 params
+                     (Evolutionary_Strategy.hpp:450-495)
+
+Unlike the reference CPU Objective (whose phase accumulators are member
+variables carried *across* candidates — a documented quirk, SURVEY.md §7.4),
+every candidate starts at phase 0, matching the GPU kernels.
+
+Audio is produced **time-major** ``(n_samples, pop)``: that is the natural
+layout of a time scan, the Hann window broadcasts over lanes, and the
+downstream spectrum matmul contracts over time without ever transposing the
+largest array in the pipeline.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .wavetable import (
+    DEFAULT_SAMPLE_RATE,
+    DEFAULT_WAVETABLE_SIZE,
+    make_osc,
+    wrap_pos,
+    wrap_pos_both,
+)
+
+TOPOLOGY_DIMS = {"fm2": 4, "fm3_series": 6, "fm3_parallel": 12}
+
+
+def scale_params(values: jax.Array, mins: jax.Array, maxs: jax.Array) -> jax.Array:
+    """Map normalised genes in [0,1] to synthesis parameter ranges.
+
+    Mirrors the per-kernel scaling (kernels/ocl_program.cl:295-298) and
+    Objective::scaleParams (Evolutionary_Strategy.hpp:567-576).
+    """
+    return mins + values * (maxs - mins)
+
+
+def _check_topology(topology: str, num_dims: int):
+    if topology not in TOPOLOGY_DIMS:
+        raise ValueError(f"unknown topology {topology!r}; options {list(TOPOLOGY_DIMS)}")
+    want = TOPOLOGY_DIMS[topology]
+    if num_dims != want:
+        raise ValueError(f"topology {topology} needs {want} dims, got {num_dims}")
+
+
+def synthesize(
+    params_scaled: jax.Array,
+    n_samples: int,
+    topology: str = "fm3_series",
+    *,
+    wavetable_size: int = DEFAULT_WAVETABLE_SIZE,
+    sample_rate: int = DEFAULT_SAMPLE_RATE,
+    osc_mode: str = "floor",
+    wavetable: jax.Array | None = None,
+    unroll: int = 8,
+) -> jax.Array:
+    """Batched FM synthesis.
+
+    Args:
+      params_scaled: ``(pop, dims)`` already-scaled synth parameters.
+      n_samples: samples per candidate (the reference's AUDIO_WAVE_FORM_SIZE).
+
+    Returns:
+      ``(n_samples, pop)`` float32 audio (time-major; see module docstring).
+    """
+    _check_topology(topology, params_scaled.shape[-1])
+    p = params_scaled.astype(jnp.float32)
+    osc = make_osc(osc_mode, wavetable_size, wavetable)
+    w2sr = jnp.float32(wavetable_size / float(sample_rate))  # w2srRatio, Evolutionary_Strategy.hpp:203
+    size = jnp.float32(wavetable_size)
+    pop = p.shape[0]
+    zeros = jnp.zeros((pop,), jnp.float32)
+
+    if topology == "fm2":
+        # Objective::synthesiseAudio (Evolutionary_Strategy.hpp:368-402)
+        mod_depth = p[:, 0] * p[:, 1]
+        carrier_freq = p[:, 2]
+        amp = p[:, 3]
+        inc1 = w2sr * p[:, 0]
+
+        def step(carry, _):
+            pos1, pos2 = carry
+            cur = osc(pos1) * mod_depth + carrier_freq
+            pos1 = wrap_pos(pos1 + inc1, size)
+            out = osc(pos2) * amp
+            pos2 = wrap_pos_both(pos2 + w2sr * cur, size)
+            return (pos1, pos2), out
+
+        init = (zeros, zeros)
+
+    elif topology == "fm3_series":
+        # Objective::synthesiseAudioDoubleSeries (Evolutionary_Strategy.hpp:403-449)
+        m1 = p[:, 0] * p[:, 1]
+        m2 = p[:, 2] * p[:, 3]
+        m3 = p[:, 4] * p[:, 5]
+        c1 = p[:, 3]
+        c2 = p[:, 5]
+        inc1 = w2sr * p[:, 1]
+
+        def step(carry, _):
+            pos1, pos2, pos3 = carry
+            cur1 = osc(pos1) * m1 + c1
+            pos1 = wrap_pos(pos1 + inc1, size)
+            cur2 = osc(pos2) * m2 + c2
+            pos2 = wrap_pos_both(pos2 + w2sr * cur1, size)
+            out = osc(pos3) * m3
+            pos3 = wrap_pos_both(pos3 + w2sr * cur2, size)
+            return (pos1, pos2, pos3), out
+
+        init = (zeros, zeros, zeros)
+
+    else:  # fm3_parallel
+        # Objective::synthesiseAudioTriple (Evolutionary_Strategy.hpp:450-495)
+        p4 = p.reshape(pop, 3, 4)
+        mod_depth = p4[:, :, 0] * p4[:, :, 1]  # (pop, 3)
+        carrier_freq = p4[:, :, 2]
+        amp = p4[:, :, 3]
+        inc1 = w2sr * p4[:, :, 0]
+        zeros3 = jnp.zeros((pop, 3), jnp.float32)
+
+        def step(carry, _):
+            pos1, pos2 = carry
+            cur = osc(pos1) * mod_depth + carrier_freq
+            pos1 = wrap_pos(pos1 + inc1, size)
+            outs = osc(pos2) * amp
+            pos2 = wrap_pos_both(pos2 + w2sr * cur, size)
+            return (pos1, pos2), jnp.mean(outs, axis=-1)
+
+        init = (zeros3, zeros3)
+
+    _, audio = jax.lax.scan(step, init, None, length=n_samples, unroll=unroll)
+    return audio  # (n_samples, pop)
+
+
+def synthesize_single(
+    params_scaled: jax.Array, n_samples: int, topology: str = "fm3_series", **kw
+) -> jax.Array:
+    """Synthesize one candidate; returns ``(n_samples,)``. Host-resynthesis
+    analog of main.cpp:270-275."""
+    return synthesize(params_scaled[None, :], n_samples, topology, **kw)[:, 0]

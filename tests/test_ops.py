@@ -1,0 +1,161 @@
+"""Unit tests for the ops layer vs closed-form / NumPy oracles (SURVEY.md §4a/4b)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pmfm_tpu import ops
+from pmfm_tpu.ops.oracle import OracleObjective
+
+
+def rel_err(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
+
+
+class TestWavetable:
+    def test_wavetable_matches_reference_formula(self):
+        wt = ops.build_wavetable(1024)
+        i = np.arange(1024)
+        expect = np.sin(i / 1023.0 * 2 * np.pi)
+        np.testing.assert_allclose(wt, expect, atol=1e-6)
+
+    def test_floor_osc_equals_table_lookup(self):
+        wt = ops.build_wavetable()
+        osc = ops.make_osc("floor", ops.DEFAULT_WAVETABLE_SIZE)
+        pos = jnp.asarray([0.0, 1.7, 500.2, 32767.9], jnp.float32)
+        got = np.asarray(osc(pos))
+        expect = wt[np.floor(np.asarray(pos)).astype(int)]
+        np.testing.assert_allclose(got, expect, atol=1e-6)
+
+    def test_wrap(self):
+        size = 16.0
+        p = jnp.asarray([15.0, 16.0, 17.5, -1.0])
+        np.testing.assert_allclose(
+            np.asarray(ops.wrap_pos(p, size)), [15.0, 0.0, 1.5, -1.0]
+        )
+        np.testing.assert_allclose(
+            np.asarray(ops.wrap_pos_both(p, size)), [15.0, 0.0, 1.5, 15.0]
+        )
+
+
+class TestWindow:
+    def test_window_is_hann_times_two(self):
+        n = 512
+        w = ops.hann_window(n)
+        expect = 1.0 - np.cos(2 * np.pi * np.arange(n) / n)
+        np.testing.assert_allclose(w, expect, atol=1e-9)
+
+    def test_window_factor_is_one(self):
+        assert abs(ops.window_factor(1024) - 1.0) < 1e-12
+
+
+PARAM_MAXS = {
+    "fm2": np.array([3520.0, 8.0, 3520.0, 1.0], np.float32),
+    "fm3_series": np.array([3520.0, 8.0, 3520.0, 8.0, 3520.0, 8.0], np.float32),
+    "fm3_parallel": np.array([3520.0, 8.0, 3520.0, 1.0] * 3, np.float32),
+}
+
+
+@pytest.mark.parametrize("topology", ["fm2", "fm3_series", "fm3_parallel"])
+class TestSynthesisVsOracle:
+    def test_matches_oracle(self, topology):
+        n = 512
+        rng = np.random.default_rng(0)
+        maxs = PARAM_MAXS[topology]
+        pop = 4
+        values = rng.uniform(0.2, 0.9, size=(pop, maxs.size)).astype(np.float32)
+        scaled = values * maxs
+        oracle = OracleObjective(n)
+        audio_tpu = np.asarray(
+            ops.synthesize(jnp.asarray(scaled), n, topology, osc_mode="floor")
+        )  # (n, pop)
+        for p in range(pop):
+            expect = oracle.synthesize(scaled[p], topology)
+            # identical recurrences in float32; divergence only from sin/table
+            # rounding which compounds through the phase feedback
+            assert rel_err(audio_tpu[:, p], expect) < 2e-3, f"candidate {p}"
+
+    def test_single_matches_batch(self, topology):
+        maxs = PARAM_MAXS[topology]
+        scaled = (0.5 * maxs).astype(np.float32)
+        a1 = ops.synthesize_single(jnp.asarray(scaled), 256, topology)
+        a2 = ops.synthesize(jnp.asarray(scaled)[None], 256, topology)[:, 0]
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
+
+
+class TestSpectrum:
+    def test_rfft_and_dft_agree(self):
+        n = 512
+        rng = np.random.default_rng(1)
+        audio = rng.standard_normal((n, 8)).astype(np.float32)
+        so_fft = ops.make_spectrum_ops(n, method="rfft")
+        so_dft = ops.make_spectrum_ops(n, method="dft")
+        s1 = np.asarray(ops.magnitude_spectrum(jnp.asarray(audio), so_fft))
+        s2 = np.asarray(ops.magnitude_spectrum(jnp.asarray(audio), so_dft))
+        assert rel_err(s2, s1) < 1e-4
+
+    def test_matches_oracle_spectrum(self):
+        n = 512
+        rng = np.random.default_rng(2)
+        audio = rng.standard_normal(n).astype(np.float32)
+        oracle = OracleObjective(n)
+        expect = oracle.magnitude_spectrum(audio)
+        for method in ("rfft", "dft"):
+            so = ops.make_spectrum_ops(n, method=method)
+            got = np.asarray(ops.target_spectrum(jnp.asarray(audio), so))
+            assert rel_err(got, expect) < 1e-4, method
+
+    def test_pure_tone_peak_bin(self):
+        n = 1024
+        sr = 44100.0
+        freq = sr / n * 100  # exactly bin 100
+        t = np.arange(n) / sr
+        audio = np.sin(2 * np.pi * freq * t).astype(np.float32)
+        so = ops.make_spectrum_ops(n, method="dft")
+        spec = np.asarray(ops.target_spectrum(jnp.asarray(audio), so))
+        assert np.argmax(spec) == 100
+        # Hann*2 window: peak magnitude ~ amplitude/2 * sum(w)/N / windowFactor = 0.5
+        assert abs(spec[100] - 0.5) < 1e-3
+
+    def test_fitness_zero_for_identical(self):
+        n = 256
+        rng = np.random.default_rng(3)
+        audio = rng.standard_normal((n, 3)).astype(np.float32)
+        so = ops.make_spectrum_ops(n, method="dft")
+        spec = ops.magnitude_spectrum(jnp.asarray(audio), so)
+        f = np.asarray(ops.spectral_fitness(spec, spec[1]))
+        assert f[1] < 1e-10
+        assert f[0] > f[1] and f[2] > f[1]
+
+    def test_end_to_end_fitness_vs_oracle(self):
+        """Golden test: TPU pipeline fitness ~= CPU/FFTW-path oracle fitness
+        within the BASELINE.md bound (1e-3 relative spectral error)."""
+        n = 512
+        maxs = PARAM_MAXS["fm3_series"]
+        rng = np.random.default_rng(4)
+        pop = 6
+        values = rng.uniform(0.1, 0.9, (pop, 6)).astype(np.float32)
+        scaled = values * maxs
+        target_scaled = (np.array([0.5, 0.25, 0.4, 0.19, 0.45, 0.125], np.float32) * maxs)
+
+        oracle = OracleObjective(n)
+        t_audio = oracle.synthesize(target_scaled, "fm3_series")
+        t_spec = oracle.magnitude_spectrum(t_audio)
+        expect = np.array(
+            [
+                oracle.fitness(oracle.magnitude_spectrum(oracle.synthesize(scaled[p], "fm3_series")), t_spec)
+                for p in range(pop)
+            ]
+        )
+
+        so = ops.make_spectrum_ops(n, method="dft")
+        audio = ops.synthesize(jnp.asarray(scaled), n, "fm3_series", osc_mode="floor")
+        tgt = ops.target_spectrum(jnp.asarray(t_audio), so)
+        got = np.asarray(ops.evaluate_fitness(audio, tgt, so))
+        # fitness values span orders of magnitude; require close agreement
+        np.testing.assert_allclose(got, expect, rtol=5e-2)
+        # ranking must agree exactly (it drives selection)
+        assert list(np.argsort(got)) == list(np.argsort(expect))
