@@ -1,0 +1,27 @@
+"""Evolutionary-strategy engine: config, stage primitives, fused pipeline."""
+from .config import ESConfig
+from .pipeline import (
+    ChunkResult,
+    MatchResult,
+    evolve,
+    generation_step,
+    make_spectrum_ops,
+    match_audio,
+)
+from .strategy import ESState, evaluate, init_state, mutate, recombine, select
+
+__all__ = [
+    "ChunkResult",
+    "ESConfig",
+    "ESState",
+    "MatchResult",
+    "evaluate",
+    "evolve",
+    "generation_step",
+    "init_state",
+    "make_spectrum_ops",
+    "match_audio",
+    "mutate",
+    "recombine",
+    "select",
+]

@@ -1,0 +1,106 @@
+"""Static configuration for the evolutionary strategy.
+
+Mirrors `Evolutionary_Strategy_Arguments` + the ES hyper-constants
+(Evolutionary_Strategy.hpp:579-630): alpha = 1.4, beta = sqrt(1/D),
+betaScale = 1/D, rootTwoOverPi = sqrt(2/pi). The config is a frozen,
+hashable dataclass so it can be a static argument to ``jax.jit``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+from ..ops.synthesis import TOPOLOGY_DIMS
+from ..ops.wavetable import DEFAULT_SAMPLE_RATE, DEFAULT_WAVETABLE_SIZE
+
+RECOMBINE_MODES = ("gather", "compat_shuffle", "off")
+MUTATION_NOISE_MODES = ("clt12", "normal")
+
+
+@dataclasses.dataclass(frozen=True)
+class ESConfig:
+    """All static knobs of the matcher.
+
+    Defaults follow parameters.json + struct initialisers
+    (Evolutionary_Strategy.hpp:579-589, SURVEY.md §5.6).
+    """
+
+    num_parents: int = 16  # mu
+    num_offspring: int = 16  # lambda; population = mu + lambda (main.cpp:183)
+    num_dimensions: int = 6
+    topology: str = "fm3_series"
+    param_mins: Tuple[float, ...] = (0.0,) * 6
+    param_maxs: Tuple[float, ...] = (3520.0, 8.0, 3520.0, 8.0, 3520.0, 8.0)
+    audio_length_log2: int = 11  # chunk size exponent (parameters.json:13)
+    sample_rate: int = DEFAULT_SAMPLE_RATE
+    wavetable_size: int = DEFAULT_WAVETABLE_SIZE
+
+    # ES hyper-parameters (Evolutionary_Strategy.hpp:600-616)
+    alpha: float = 1.4
+
+    # engine knobs (new, TPU-native)
+    osc_mode: str = "floor"  # "floor" | "exact" | "table"
+    spectrum_method: str = "dft"  # "dft" | "rfft"
+    num_bins: int | None = None  # default N//2 (CPU ground-truth band)
+    recombine_mode: str = "gather"  # "gather" | "compat_shuffle" | "off"
+    mutation_noise: str = "clt12"  # "clt12" (reference CLT gaussian) | "normal"
+    clamp_values: bool = False  # OpenCL leaves values unclamped after retry
+    workgroup_size: int = 32  # only used by compat_shuffle recombination
+    scan_unroll: int = 8
+    dft_dtype: str = "float32"  # "float32" | "bfloat16"
+
+    # capability upgrades over the reference (SURVEY.md §7.2 item 8)
+    fitness_threshold: float = 0.0  # 0 disables early stop (dead knob in ref)
+
+    def __post_init__(self):
+        if self.topology not in TOPOLOGY_DIMS:
+            raise ValueError(f"unknown topology {self.topology!r}")
+        want = TOPOLOGY_DIMS[self.topology]
+        if self.num_dimensions != want:
+            raise ValueError(
+                f"topology {self.topology} needs {want} dims, got {self.num_dimensions}"
+            )
+        if len(self.param_mins) != self.num_dimensions or len(self.param_maxs) != self.num_dimensions:
+            raise ValueError("param_mins/param_maxs length must equal num_dimensions")
+        if self.recombine_mode not in RECOMBINE_MODES:
+            raise ValueError(f"recombine_mode must be one of {RECOMBINE_MODES}")
+        if self.mutation_noise not in MUTATION_NOISE_MODES:
+            raise ValueError(f"mutation_noise must be one of {MUTATION_NOISE_MODES}")
+        if self.num_parents <= 0 or self.num_offspring < 0:
+            raise ValueError("need num_parents > 0 and num_offspring >= 0")
+
+    # --- derived ---------------------------------------------------------
+    @property
+    def population_size(self) -> int:
+        """populationLength = numParents + numOffspring (main.cpp:183).
+
+        (The reference also computes a bogus byte-ish
+        ``numParents + numOffspring * sizeof(float)`` in places
+        (main.cpp:115,131,151) — a documented quirk we do not copy,
+        SURVEY.md §7.4.)
+        """
+        return self.num_parents + self.num_offspring
+
+    @property
+    def n_samples(self) -> int:
+        return 1 << self.audio_length_log2
+
+    @property
+    def one_over_alpha(self) -> float:
+        return 1.0 / self.alpha
+
+    @property
+    def beta_scale(self) -> float:
+        return 1.0 / self.num_dimensions
+
+    @property
+    def beta(self) -> float:
+        return math.sqrt(self.beta_scale)
+
+    @property
+    def root_two_over_pi(self) -> float:
+        return math.sqrt(2.0 / math.pi)
+
+    def replace(self, **kw) -> "ESConfig":
+        return dataclasses.replace(self, **kw)

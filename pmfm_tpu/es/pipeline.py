@@ -1,0 +1,219 @@
+"""The fused per-generation step and the chunked audio matcher.
+
+The reference drives nine kernels per generation with a host sync after each
+(executeGeneration, Evolutionary_Strategy_OpenCL.hpp:471-541) and the Vulkan
+backend even round-trips the full population audio over PCIe every generation
+(Evolutionary_Strategy_Vulkan.hpp:1127-1154). On TPU the entire generation —
+recombine, mutate, synthesise, window, FFT, fitness, select — is one jitted
+pure function ``generation_step``; ``evolve`` rolls ``G`` generations into a
+single ``lax.scan`` so an entire chunk match is one device program with zero
+host round trips.
+
+``match_audio`` reproduces parameterMatchAudio
+(Evolutionary_Strategy_OpenCL.hpp:572-610): the target is processed in
+chunks of ``2^audio_length_log2`` samples, a fresh population evolved per
+chunk, best parameters reported per chunk, and the best candidate of each
+chunk resynthesised into the output audio (main.cpp:270-275 resynthesises on
+the host; here it is device-side).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import spectral, synthesis
+from .config import ESConfig
+from .strategy import ESState, evaluate, init_state, mutate, recombine, select
+
+
+def make_spectrum_ops(cfg: ESConfig) -> spectral.SpectrumOps:
+    return spectral.make_spectrum_ops(
+        cfg.n_samples,
+        num_bins=cfg.num_bins,
+        method=cfg.spectrum_method,
+        dft_dtype=jnp.dtype(cfg.dft_dtype),
+    )
+
+
+def generation_step(
+    state: ESState,
+    target_spectrum: jax.Array,
+    spectrum_ops: spectral.SpectrumOps,
+    cfg: ESConfig,
+) -> ESState:
+    """One fused ES generation. Order matches executeGeneration
+    (Evolutionary_Strategy_OpenCL.hpp:471-541): recombine -> mutate ->
+    evaluate(synth/window/fft/fitness) -> select. No rotation stage: the
+    ping-pong double-buffer is subsumed by functional updates."""
+    key, k_rec, k_mut = jax.random.split(state.key, 3)
+    values, steps = recombine(k_rec, state.parent_values, state.parent_steps, cfg)
+    values, steps = mutate(k_mut, values, steps, cfg)
+    fitness = evaluate(values, target_spectrum, spectrum_ops, cfg)
+    pv, ps, pf = select(values, steps, fitness, cfg.num_parents)
+    improved = pf[0] < state.best_fitness
+    return ESState(
+        parent_values=pv,
+        parent_steps=ps,
+        parent_fitness=pf,
+        best_values=jnp.where(improved, pv[0], state.best_values),
+        best_fitness=jnp.where(improved, pf[0], state.best_fitness),
+        key=key,
+        generation=state.generation + 1,
+    )
+
+
+def evolve(
+    state: ESState,
+    target_spectrum: jax.Array,
+    num_generations: int,
+    spectrum_ops: spectral.SpectrumOps,
+    cfg: ESConfig,
+    record_trajectory: bool = False,
+):
+    """Run ``num_generations`` generations in one ``lax.scan``
+    (executeAllGenerations, Evolutionary_Strategy_OpenCL.hpp:542-554).
+
+    If ``cfg.fitness_threshold > 0`` a ``lax.while_loop`` stops early once the
+    best fitness drops below it — the reference parses this knob but never
+    uses it (SURVEY.md §5.6); here it is live. Early stop and trajectory
+    recording are mutually exclusive (scan needs a static length).
+
+    Returns ``(final_state, trajectory)`` where trajectory is
+    ``(best_fitness_per_gen,)`` or ``None``.
+    """
+    step = partial(generation_step, target_spectrum=target_spectrum,
+                   spectrum_ops=spectrum_ops, cfg=cfg)
+    if cfg.fitness_threshold > 0.0 and not record_trajectory:
+        def cond(s):
+            return (s.generation < num_generations) & (
+                s.best_fitness > cfg.fitness_threshold
+            )
+        return jax.lax.while_loop(cond, step, state), None
+
+    def body(s, _):
+        s = step(s)
+        return s, (s.best_fitness if record_trajectory else None)
+
+    final, traj = jax.lax.scan(body, state, None, length=num_generations)
+    return final, (traj if record_trajectory else None)
+
+
+@lru_cache(maxsize=32)
+def _compiled_chunk_matcher(cfg: ESConfig, num_generations: int, record_trajectory: bool):
+    """jit-compiled: (key, target_audio_chunk) -> (final_state, trajectory,
+    best_scaled_params, resynthesised_best_audio)."""
+    so = make_spectrum_ops(cfg)
+    mins = jnp.asarray(cfg.param_mins, jnp.float32)
+    maxs = jnp.asarray(cfg.param_maxs, jnp.float32)
+
+    @jax.jit
+    def run(key, target_audio):
+        tspec = spectral.target_spectrum(target_audio, so)
+        state = init_state(key, cfg)
+        final, traj = evolve(state, tspec, num_generations, so, cfg,
+                             record_trajectory)
+        best_scaled = synthesis.scale_params(final.best_values, mins, maxs)
+        best_audio = synthesis.synthesize(
+            best_scaled[None, :],
+            cfg.n_samples,
+            cfg.topology,
+            wavetable_size=cfg.wavetable_size,
+            sample_rate=cfg.sample_rate,
+            osc_mode=cfg.osc_mode,
+            unroll=cfg.scan_unroll,
+        )[:, 0]
+        return final, traj, best_scaled, best_audio
+
+    return run
+
+
+class ChunkResult(NamedTuple):
+    best_params_scaled: np.ndarray  # (D,)
+    best_params_norm: np.ndarray  # (D,) in [0,1]
+    best_fitness: float
+    generations_run: int
+    trajectory: np.ndarray | None  # (G,) best fitness per generation
+
+
+@dataclasses.dataclass
+class MatchResult:
+    """Full output of one parameterMatchAudio run."""
+
+    chunks: list[ChunkResult]
+    output_audio: np.ndarray  # resynthesised best candidate per chunk, concat
+    config: ESConfig
+
+    @property
+    def best_chunk(self) -> ChunkResult:
+        return min(self.chunks, key=lambda c: c.best_fitness)
+
+
+def match_audio(
+    target_audio: np.ndarray,
+    cfg: ESConfig,
+    key: jax.Array | int = 0,
+    num_generations: int = 1000,
+    record_trajectory: bool = False,
+    benchmarker: Any | None = None,
+) -> MatchResult:
+    """Match FM parameters chunk-by-chunk over a target waveform.
+
+    Mirrors Evolutionary_Strategy_OpenCL::parameterMatchAudio
+    (Evolutionary_Strategy_OpenCL.hpp:572-610): ``numChunks =
+    len(target)//chunk`` (remainder ignored, as in the reference), fresh
+    population per chunk.
+
+    Args:
+      benchmarker: optional ``utils.benchmarker.Benchmarker``; per-chunk
+        wall time is recorded under "chunk" and the total under
+        "Total Audio Analysis Time" (CSV-compatible with the reference's
+        Benchmarker.hpp:132-162 schema).
+    """
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    chunk = cfg.n_samples
+    num_chunks = len(target_audio) // chunk
+    if num_chunks == 0:
+        raise ValueError(
+            f"target audio ({len(target_audio)} samples) shorter than one "
+            f"chunk ({chunk})"
+        )
+    run = _compiled_chunk_matcher(cfg, num_generations, record_trajectory)
+
+    results = []
+    out_audio = []
+    if benchmarker is not None:
+        benchmarker.start_timer("Total Audio Analysis Time")
+    for i in range(num_chunks):
+        if benchmarker is not None:
+            benchmarker.start_timer("chunk")
+        key, sub = jax.random.split(key)
+        frame = jnp.asarray(
+            target_audio[i * chunk : (i + 1) * chunk], jnp.float32
+        )
+        final, traj, best_scaled, best_audio = run(sub, frame)
+        jax.block_until_ready(best_audio)
+        if benchmarker is not None:
+            benchmarker.pause_timer("chunk")
+        results.append(
+            ChunkResult(
+                best_params_scaled=np.asarray(best_scaled),
+                best_params_norm=np.asarray(final.best_values),
+                best_fitness=float(final.best_fitness),
+                generations_run=int(final.generation),
+                trajectory=None if traj is None else np.asarray(traj),
+            )
+        )
+        out_audio.append(np.asarray(best_audio))
+    if benchmarker is not None:
+        benchmarker.pause_timer("Total Audio Analysis Time")
+    return MatchResult(
+        chunks=results,
+        output_audio=np.concatenate(out_audio),
+        config=cfg,
+    )

@@ -1,0 +1,233 @@
+"""(mu+lambda)-ES stage primitives, pure-functional.
+
+TPU-native redesign of the reference's 9-stage device pipeline (SURVEY.md
+§2.2). The double-buffer "rotation" mechanism (kernels/ocl_program.cl:54,674,
+rotatePopulation) disappears entirely — functional updates subsume it. The
+MWC64X + CLT PRNG (kernels/ocl_program.cl:5-31) becomes counter-based
+``jax.random`` (threefry), which is what a per-thread multiply-with-carry
+stream was approximating. The O(P^2/WG) enumeration sort
+(kernels/ocl_program.cl:664-711) becomes ``lax.top_k``: only the parent set
+and the best candidate are ever consumed, so a full sort is wasted work.
+
+State layout: only the mu parents persist between generations (values, steps,
+fitness) — the full population exists transiently inside a generation. This
+is semantically identical to the reference (recombine overwrites every
+population slot from parent data, kernels/ocl_program.cl:73-149, so the
+non-parent slots never carry information across generations) and shrinks the
+inter-generation state to O(mu * D).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import spectral, synthesis
+from .config import ESConfig
+
+INITIAL_STEP = 0.1  # initPopulation: step = 0.1 (kernels/ocl_program.cl:58)
+
+
+class ESState(NamedTuple):
+    """Persistent inter-generation ES state (a pytree)."""
+
+    parent_values: jax.Array  # (mu, D) in [0, 1]
+    parent_steps: jax.Array  # (mu, D)
+    parent_fitness: jax.Array  # (mu,)
+    best_values: jax.Array  # (D,) best-ever candidate
+    best_fitness: jax.Array  # () best-ever fitness
+    key: jax.Array  # PRNG key
+    generation: jax.Array  # () int32
+
+
+def init_state(key: jax.Array, cfg: ESConfig) -> ESState:
+    """Fresh random parents — initPopulation (kernels/ocl_program.cl:46-66):
+    values ~ |uniform|, steps = 0.1, fitness unknown (+inf so any evaluated
+    candidate replaces them)."""
+    key, sub = jax.random.split(key)
+    mu, d = cfg.num_parents, cfg.num_dimensions
+    values = jax.random.uniform(sub, (mu, d), jnp.float32)
+    return ESState(
+        parent_values=values,
+        parent_steps=jnp.full((mu, d), INITIAL_STEP, jnp.float32),
+        parent_fitness=jnp.full((mu,), jnp.inf, jnp.float32),
+        best_values=values[0],
+        best_fitness=jnp.asarray(jnp.inf, jnp.float32),
+        key=key,
+        generation=jnp.asarray(0, jnp.int32),
+    )
+
+
+# --------------------------------------------------------------------------
+# Recombination
+# --------------------------------------------------------------------------
+
+def _compat_shuffle_index(pop: int, dims: int, wg_size: int, num_parents: int) -> np.ndarray:
+    """Precompute the reference's deterministic workgroup shuffle as one flat
+    gather index (host-side; it is a fixed permutation of parent gene slots).
+
+    Reproduces recombinePopulation (kernels/ocl_program.cl:73-149): offspring
+    workgroup ``g`` aliases parent block ``g % NUM_WGS_FOR_PARENTS``; within
+    the block, flat gene ``j`` of lane ``l`` moves to
+    ``(l*D + shift) % (WG*D)`` with ``shift = D * (i * (g+1))`` for dimension
+    counter ``i``. Kept only as a parity/ablation mode — its documented
+    limitation (mixing restricted to one workgroup's parent slice,
+    kernels/ocl_program.cl:126-129) is exactly what the default "gather" mode
+    fixes.
+    """
+    # the reference computes NUM_WGS_FOR_PARENTS = numParents/wgSize and takes
+    # g % it — zero (UB) for its own default 16 parents @ wg 32
+    # (Evolutionary_Strategy_OpenCL.hpp:115, SURVEY.md §7.4); we shrink the
+    # workgroup to mu instead so the aliasing is always well-defined
+    wg_size = min(wg_size, num_parents)
+    if pop % wg_size or num_parents % wg_size:
+        raise ValueError(
+            f"compat_shuffle needs wg_size|pop and wg_size|num_parents, "
+            f"got wg={wg_size}, pop={pop}, mu={num_parents}"
+        )
+    num_wgs_for_parents = max(num_parents // wg_size, 1)
+    block = wg_size * dims
+    src = np.empty(pop * dims, np.int64)
+    for g in range(pop // wg_size):
+        g_mod = g % num_wgs_for_parents
+        base_src = g_mod * block  # parent block this group reads
+        base_dst = g * block
+        # invert the scatter: dst[new_idx] = src[start_idx]
+        for lane in range(wg_size):
+            start = lane * dims
+            for i in range(dims):
+                shift = dims * (i * (g + 1))
+                new_idx = (start + i + shift) % block
+                src[base_dst + new_idx] = base_src + start + i
+    return src
+
+
+def recombine(
+    key: jax.Array,
+    parent_values: jax.Array,
+    parent_steps: jax.Array,
+    cfg: ESConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """Discrete recombination: population of ``P`` offspring whose genes are
+    drawn per-(individual, dimension) from a uniformly random parent.
+
+    This is the intended semantics of recombinePopulation — the reference
+    CPU path already does random-parent gene copy
+    (Evolutionary_Strategy_CPU.hpp:119-138) and the OpenCL kernel's
+    deterministic shuffle is documented in-source as a limitation
+    (kernels/ocl_program.cl:126-129). ``compat_shuffle`` reproduces the
+    OpenCL behaviour for parity runs.
+    """
+    pop, d = cfg.population_size, cfg.num_dimensions
+    if cfg.recombine_mode == "gather":
+        idx = jax.random.randint(key, (pop, d), 0, parent_values.shape[0])
+        cols = jnp.arange(d)[None, :]
+        return parent_values[idx, cols], parent_steps[idx, cols]
+    if cfg.recombine_mode == "compat_shuffle":
+        # source indices only ever address the parent slice (group aliasing
+        # g % NUM_WGS_FOR_PARENTS keeps base_src < mu*D), so gather straight
+        # from the flattened parents
+        flat_idx = jnp.asarray(
+            _compat_shuffle_index(pop, d, cfg.workgroup_size, cfg.num_parents)
+        )
+        flat_v = parent_values.reshape(-1)
+        flat_s = parent_steps.reshape(-1)
+        return flat_v[flat_idx].reshape(pop, d), flat_s[flat_idx].reshape(pop, d)
+    # "off": population = parents tiled (ablation)
+    reps = -(-pop // parent_values.shape[0])
+    return (
+        jnp.tile(parent_values, (reps, 1))[:pop],
+        jnp.tile(parent_steps, (reps, 1))[:pop],
+    )
+
+
+# --------------------------------------------------------------------------
+# Mutation
+# --------------------------------------------------------------------------
+
+def _gauss(key: jax.Array, shape, mode: str) -> jax.Array:
+    """The reference's "gaussian": mean of 12 uniforms in [-1, 1]
+    (kernels/ocl_program.cl:21-31) — i.e. sigma = 1/6, NOT unit variance.
+    ``normal`` mode draws N(0, 1/6) directly (statistically equivalent bulk,
+    12x fewer random bits)."""
+    if mode == "clt12":
+        u = jax.random.uniform(key, (*shape, 12), jnp.float32, -1.0, 1.0)
+        return jnp.sum(u, axis=-1) / 12.0
+    return jax.random.normal(key, shape, jnp.float32) * (1.0 / 6.0)
+
+
+def mutate(
+    key: jax.Array,
+    values: jax.Array,
+    steps: jax.Array,
+    cfg: ESConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """Canonical log-normal self-adaptive mutation — mutatePopulation
+    (kernels/ocl_program.cl:155-190):
+
+      Ek   = coin ? alpha : 1/alpha                  (per gene)
+      x'   = x + Ek * s * g,  g ~ gauss
+      out-of-[0,1] retry once with g := -0.5 * g
+      Es   = exp(|g| - sqrt(2/pi))
+      s'   = s * Ek^beta * Es^betaScale
+    """
+    k_coin, k_gauss = jax.random.split(key)
+    coin = jax.random.bernoulli(k_coin, 0.5, values.shape)
+    ek = jnp.where(coin, cfg.alpha, cfg.one_over_alpha).astype(jnp.float32)
+    g = _gauss(k_gauss, values.shape, cfg.mutation_noise)
+
+    new_x = values + ek * steps * g
+    out = (new_x < 0.0) | (new_x > 1.0)
+    g = jnp.where(out, g * -0.5, g)
+    new_x = jnp.where(out, values + ek * steps * g, new_x)
+    if cfg.clamp_values:
+        # CPU ground truth clamps (Evolutionary_Strategy_CPU.hpp:166-169);
+        # the OpenCL kernel leaves the retried value unclamped.
+        new_x = jnp.clip(new_x, 0.0, 1.0)
+
+    es = jnp.exp(jnp.abs(g) - cfg.root_two_over_pi)
+    new_steps = steps * (ek ** cfg.beta) * (es ** cfg.beta_scale)
+    return new_x, new_steps
+
+
+# --------------------------------------------------------------------------
+# Evaluation & selection
+# --------------------------------------------------------------------------
+
+def evaluate(
+    values: jax.Array,
+    target_spectrum: jax.Array,
+    spectrum_ops: spectral.SpectrumOps,
+    cfg: ESConfig,
+) -> jax.Array:
+    """Stages 4-7 fused: scale -> synthesise -> window+FFT+magnitude -> L2.
+
+    Replaces synthesisePopulation{,DoubleSeries,TripleParallel} +
+    applyWindowPopulation + clFFT + fitnessPopulation
+    (kernels/ocl_program.cl:280-659) with one XLA computation.
+    """
+    mins = jnp.asarray(cfg.param_mins, jnp.float32)
+    maxs = jnp.asarray(cfg.param_maxs, jnp.float32)
+    scaled = synthesis.scale_params(values, mins, maxs)
+    audio = synthesis.synthesize(
+        scaled,
+        cfg.n_samples,
+        cfg.topology,
+        wavetable_size=cfg.wavetable_size,
+        sample_rate=cfg.sample_rate,
+        osc_mode=cfg.osc_mode,
+        unroll=cfg.scan_unroll,
+    )
+    return spectral.evaluate_fitness(audio, target_spectrum, spectrum_ops)
+
+
+def select(
+    values: jax.Array, steps: jax.Array, fitness: jax.Array, mu: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Truncation selection via top-k — replaces sortPopulation's full
+    enumeration sort (kernels/ocl_program.cl:664-711): only the mu survivors
+    are needed. Returns parents sorted best-first (rank order preserved)."""
+    neg_fit, idx = jax.lax.top_k(-fitness, mu)
+    return values[idx], steps[idx], -neg_fit

@@ -1,0 +1,5 @@
+"""Runtime utilities: benchmarking, CSV logging, checkpointing, profiling."""
+from .benchmarker import CSV_FIELDS, Benchmarker
+from .csv_logger import CSVLogger
+
+__all__ = ["Benchmarker", "CSVLogger", "CSV_FIELDS"]

@@ -1,0 +1,170 @@
+"""ES stage unit tests + end-to-end recovery (SURVEY.md §4 items a/c)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pmfm_tpu.es import (
+    ESConfig,
+    evolve,
+    generation_step,
+    init_state,
+    make_spectrum_ops,
+    match_audio,
+    mutate,
+    recombine,
+    select,
+)
+from pmfm_tpu.ops import scale_params, synthesize_single, target_spectrum
+
+CFG2 = ESConfig(
+    num_parents=16,
+    num_offspring=48,
+    num_dimensions=4,
+    topology="fm2",
+    param_mins=(0.0,) * 4,
+    param_maxs=(3520.0, 8.0, 3520.0, 1.0),
+    audio_length_log2=9,
+)
+
+
+class TestStages:
+    def test_init_state(self):
+        s = init_state(jax.random.PRNGKey(0), CFG2)
+        assert s.parent_values.shape == (16, 4)
+        assert np.all(np.asarray(s.parent_values) >= 0)
+        assert np.all(np.asarray(s.parent_values) <= 1)
+        np.testing.assert_allclose(np.asarray(s.parent_steps), 0.1)
+        assert np.isinf(float(s.best_fitness))
+
+    def test_recombine_gather_genes_come_from_parents(self):
+        s = init_state(jax.random.PRNGKey(1), CFG2)
+        v, st = recombine(jax.random.PRNGKey(2), s.parent_values, s.parent_steps, CFG2)
+        assert v.shape == (64, 4)
+        pv = np.asarray(s.parent_values)
+        vn = np.asarray(v)
+        for d in range(4):
+            assert np.isin(vn[:, d], pv[:, d]).all(), f"dim {d} gene not from a parent"
+
+    def test_recombine_compat_shuffle_is_permutation_of_parent_blocks(self):
+        cfg = CFG2.replace(
+            num_parents=32, num_offspring=32, workgroup_size=32,
+            recombine_mode="compat_shuffle",
+        )
+        s = init_state(jax.random.PRNGKey(3), cfg)
+        v, _ = recombine(jax.random.PRNGKey(4), s.parent_values, s.parent_steps, cfg)
+        vn = np.asarray(v)
+        pv = np.asarray(s.parent_values)
+        # every workgroup of offspring holds exactly the gene multiset of its
+        # aliased parent block (kernels/ocl_program.cl:99-137)
+        assert sorted(vn[:32].ravel().tolist()) == sorted(pv.ravel().tolist())
+        assert sorted(vn[32:].ravel().tolist()) == sorted(pv.ravel().tolist())
+
+    def test_mutate_moves_values_and_adapts_steps(self):
+        v = jnp.full((256, 4), 0.5)
+        s = jnp.full((256, 4), 0.1)
+        v2, s2 = mutate(jax.random.PRNGKey(5), v, s, CFG2)
+        assert not np.allclose(np.asarray(v2), 0.5)
+        assert not np.allclose(np.asarray(s2), 0.1)
+        # moves are Ek*s*g with |g| mostly < 0.5 -> bounded step from 0.5
+        assert np.abs(np.asarray(v2) - 0.5).max() < 0.2
+        # reference sigma = 1/6: sample std of moves ~ s * Ek~1.2 * 1/6
+        moves = np.asarray(v2) - 0.5
+        assert 0.005 < moves.std() < 0.05
+
+    def test_mutate_clamp_mode(self):
+        cfg = CFG2.replace(clamp_values=True)
+        v = jnp.full((512, 4), 0.999)
+        s = jnp.full((512, 4), 2.0)  # huge steps force out-of-range
+        v2, _ = mutate(jax.random.PRNGKey(6), v, s, cfg)
+        assert np.asarray(v2).max() <= 1.0
+        assert np.asarray(v2).min() >= 0.0
+
+    def test_select_orders_best_first(self):
+        v = jnp.arange(20.0).reshape(10, 2)
+        s = v + 100
+        f = jnp.asarray([5.0, 1.0, 3.0, 0.5, 9.0, 2.0, 7.0, 8.0, 6.0, 4.0])
+        pv, ps, pf = select(v, s, f, 3)
+        np.testing.assert_allclose(np.asarray(pf), [0.5, 1.0, 2.0])
+        np.testing.assert_allclose(np.asarray(pv)[0], [6.0, 7.0])
+        np.testing.assert_allclose(np.asarray(ps)[0], [106.0, 107.0])
+
+
+class TestGenerationStep:
+    def test_best_fitness_monotone(self):
+        cfg = CFG2
+        so = make_spectrum_ops(cfg)
+        mins = jnp.asarray(cfg.param_mins)
+        maxs = jnp.asarray(cfg.param_maxs)
+        true_norm = jnp.asarray([0.25, 0.25, 0.5, 0.9], jnp.float32)
+        tgt_audio = synthesize_single(scale_params(true_norm, mins, maxs), cfg.n_samples, cfg.topology)
+        tspec = target_spectrum(tgt_audio, so)
+        state = init_state(jax.random.PRNGKey(7), cfg)
+        bests = []
+        step = jax.jit(lambda s: generation_step(s, tspec, so, cfg))
+        for _ in range(8):
+            state = step(state)
+            bests.append(float(state.best_fitness))
+        assert all(b2 <= b1 for b1, b2 in zip(bests, bests[1:]))
+        assert np.isfinite(bests[-1])
+        # best-ever always <= current parents' best
+        assert float(state.best_fitness) <= float(state.parent_fitness[0])
+
+    def test_evolve_scan_equals_python_loop(self):
+        cfg = CFG2.replace(num_offspring=16)
+        so = make_spectrum_ops(cfg)
+        tspec = jnp.ones((so.num_bins,), jnp.float32)
+        s0 = init_state(jax.random.PRNGKey(8), cfg)
+        s_loop = s0
+        for _ in range(3):
+            s_loop = generation_step(s_loop, tspec, so, cfg)
+        s_scan, _ = evolve(s0, tspec, 3, so, cfg)
+        np.testing.assert_allclose(
+            np.asarray(s_scan.parent_values), np.asarray(s_loop.parent_values), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(s_scan.best_fitness), float(s_loop.best_fitness), rtol=1e-6
+        )
+
+    def test_early_stop_threshold(self):
+        cfg = CFG2.replace(fitness_threshold=1e30)  # everything passes
+        so = make_spectrum_ops(cfg)
+        tspec = jnp.zeros((so.num_bins,), jnp.float32)
+        s0 = init_state(jax.random.PRNGKey(9), cfg)
+        final, _ = evolve(s0, tspec, 50, so, cfg)
+        assert int(final.generation) == 1  # stopped after first evaluation
+
+
+class TestMatchAudio:
+    def test_known_param_recovery_improves(self):
+        """De-facto integration test of the reference (main.cpp:212-227):
+        synthesize target from known params, match, check convergence."""
+        cfg = CFG2
+        mins = np.zeros(4, np.float32)
+        maxs = np.asarray(cfg.param_maxs, np.float32)
+        true_norm = np.asarray([0.25, 0.25, 0.5, 0.9], np.float32)
+        tgt = np.asarray(
+            synthesize_single(jnp.asarray(true_norm * maxs), cfg.n_samples, cfg.topology)
+        )
+        res = match_audio(tgt, cfg, key=11, num_generations=40, record_trajectory=True)
+        assert len(res.chunks) == 1
+        c = res.chunks[0]
+        assert c.generations_run == 40
+        assert c.trajectory.shape == (40,)
+        # trajectory is best-ever: monotone non-increasing
+        assert np.all(np.diff(c.trajectory) <= 1e-6)
+        # meaningful improvement over the first generation
+        assert c.trajectory[-1] < 0.5 * c.trajectory[0]
+        assert res.output_audio.shape == (cfg.n_samples,)
+
+    def test_multi_chunk(self):
+        cfg = CFG2.replace(audio_length_log2=8)
+        tgt = np.random.default_rng(0).standard_normal(3 * 256 + 100).astype(np.float32)
+        res = match_audio(tgt, cfg, key=1, num_generations=5)
+        assert len(res.chunks) == 3  # remainder dropped like the reference
+        assert res.output_audio.shape == (3 * 256,)
+
+    def test_too_short_target_raises(self):
+        with pytest.raises(ValueError):
+            match_audio(np.zeros(10, np.float32), CFG2, num_generations=1)
