@@ -1,0 +1,178 @@
+"""``pmfm`` command-line driver.
+
+Replicates the reference driver (main.cpp:25-305):
+
+* ``-j/--json <config>`` selects the JSON run configuration (main.cpp:54-60);
+* ``input: "params"`` synthesises the target from ground-truth parameters and
+  writes ``inputGenerated.wav`` (main.cpp:212-227);
+* ``input: "audio"`` loads the target WAV (main.cpp:204-208);
+* runs ``parameterMatchAudio`` equivalent with total wall-clock printout
+  (main.cpp:229-239);
+* resynthesises the best candidate into the output WAV (main.cpp:270-275);
+* prints best parameters + fitness per chunk (printBest,
+  Evolutionary_Strategy_OpenCL.hpp:613-631);
+* writes the per-stage benchmark CSV with the reference's naming scheme and
+  column schema (Evolutionary_Strategy_OpenCL.hpp:109, Benchmarker.hpp:132-162).
+
+Upgrades over the reference CLI: ``--generations/--population/--audio-log2``
+overrides, ``--checkpoint-dir`` resume, ``--seed``, ``--trajectory``.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def show_usage() -> str:
+    # reference usage text analog (main.cpp:368-415)
+    return (
+        "pmfm — TPU-native evolutionary FM parameter matcher\n"
+        "usage: pmfm -j <config.json> [options]\n"
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pmfm", description=show_usage())
+    p.add_argument("-j", "--json", default="parameters.json", help="run configuration JSON")
+    p.add_argument("--seed", type=int, default=0, help="PRNG seed")
+    p.add_argument("--generations", type=int, default=None, help="override numGenerations")
+    p.add_argument("--parents", type=int, default=None, help="override numParents")
+    p.add_argument("--offspring", type=int, default=None, help="override numOffspring")
+    p.add_argument("--audio-log2", type=int, default=None, help="override audioLengthLog2")
+    p.add_argument("--checkpoint-dir", default=None, help="chunk-level checkpoint/resume dir")
+    p.add_argument("--trajectory", action="store_true", help="record per-generation best fitness")
+    p.add_argument("--input-generated-path", default="inputGenerated.wav",
+                   help="where params-mode targets are written (main.cpp:226)")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    # Defer heavy imports so `pmfm --help` is instant.
+    import jax
+
+    from .es import match_audio
+    from .io import load_config, read_wav, write_wav
+    from .ops import scale_params, synthesize_single
+    from .utils import Benchmarker
+
+    try:
+        run_cfg = load_config(args.json)
+    except FileNotFoundError:
+        print(f"error: config file not found: {args.json}", file=sys.stderr)
+        print(show_usage(), file=sys.stderr)
+        return 2
+
+    cfg = run_cfg.es
+    overrides = {}
+    if args.parents is not None:
+        overrides["num_parents"] = args.parents
+    if args.offspring is not None:
+        overrides["num_offspring"] = args.offspring
+    if args.audio_log2 is not None:
+        overrides["audio_length_log2"] = args.audio_log2
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    num_generations = args.generations or run_cfg.num_generations
+
+    # --- target creation (main.cpp:204-227) ------------------------------
+    if run_cfg.input_mode == "params":
+        import jax.numpy as jnp
+
+        params = np.asarray(run_cfg.input_params, np.float32)
+        if params.size != cfg.num_dimensions:
+            print(
+                f"error: type.params has {params.size} values, "
+                f"config needs {cfg.num_dimensions}",
+                file=sys.stderr,
+            )
+            return 2
+        # main.cpp synthesises a 2^11-sample target regardless of chunk size
+        # (main.cpp:201-202); we synthesise at least one chunk
+        n_target = max(2048, cfg.n_samples)
+        target = np.asarray(
+            synthesize_single(
+                jnp.asarray(params), n_target, cfg.topology,
+                wavetable_size=cfg.wavetable_size, sample_rate=cfg.sample_rate,
+                osc_mode=cfg.osc_mode,
+            )
+        )
+        if run_cfg.is_audio:
+            write_wav(args.input_generated_path, target, cfg.sample_rate, normalize=True)
+        sample_rate = cfg.sample_rate
+    elif run_cfg.input_mode == "audio":
+        target, sample_rate = read_wav(run_cfg.input_audio_path)
+        if sample_rate != cfg.sample_rate and not args.quiet:
+            print(
+                f"warning: target sample rate {sample_rate} != config "
+                f"{cfg.sample_rate}; matching at file rate semantics"
+            )
+    else:
+        print(f"error: unknown input mode {run_cfg.input_mode!r}", file=sys.stderr)
+        return 2
+
+    # --- benchmarking setup (reference CSV naming) ------------------------
+    bm = None
+    if run_cfg.is_benchmarking:
+        csv_path = (
+            Benchmarker.log_filename(
+                "tpu", cfg.population_size, num_generations, cfg.n_samples
+            )
+            if run_cfg.is_log
+            else None
+        )
+        bm = Benchmarker(csv_path=csv_path, quiet=args.quiet)
+
+    # --- match (main.cpp:229-239) ----------------------------------------
+    start = time.perf_counter()
+    result = match_audio(
+        target,
+        cfg,
+        key=args.seed,
+        num_generations=num_generations,
+        record_trajectory=args.trajectory,
+        benchmarker=bm,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    elapsed = time.perf_counter() - start
+    if not args.quiet:
+        print(f"Total time to complete: {elapsed:.3f}s")
+        print(f"Total time to complete: {elapsed * 1e3:.3f}ms\n")
+
+    # --- report (printBest analog) ---------------------------------------
+    evals = cfg.population_size * sum(c.generations_run for c in result.chunks)
+    for i, c in enumerate(result.chunks):
+        if not args.quiet:
+            params_str = ", ".join(f"{v:.3f}" for v in c.best_params_scaled)
+            print(
+                f"chunk {i}: fitness = {c.best_fitness:.6g} "
+                f"({c.generations_run} generations)\n  params = [{params_str}]"
+            )
+    best = result.best_chunk
+    if not args.quiet:
+        print(f"\nOverall best parameters found\n Fitness = {best.best_fitness:f}")
+        print("  " + ", ".join(f"{v:.4f}" for v in best.best_params_scaled))
+        print(f"candidate evaluations: {evals} ({evals / elapsed:.0f}/s)")
+
+    # --- output audio (main.cpp:270-275) ---------------------------------
+    if run_cfg.is_audio:
+        write_wav(
+            run_cfg.output_audio_path, result.output_audio, sample_rate, normalize=True
+        )
+        if not args.quiet:
+            print(f"wrote {run_cfg.output_audio_path}")
+
+    if bm is not None:
+        bm.elapsed_timer("chunk")
+        bm.elapsed_timer("Total Audio Analysis Time")
+        bm.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

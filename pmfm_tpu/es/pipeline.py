@@ -160,6 +160,7 @@ def match_audio(
     num_generations: int = 1000,
     record_trajectory: bool = False,
     benchmarker: Any | None = None,
+    checkpoint_dir: str | None = None,
 ) -> MatchResult:
     """Match FM parameters chunk-by-chunk over a target waveform.
 
@@ -173,6 +174,9 @@ def match_audio(
         wall time is recorded under "chunk" and the total under
         "Total Audio Analysis Time" (CSV-compatible with the reference's
         Benchmarker.hpp:132-162 schema).
+      checkpoint_dir: if set, per-chunk results are persisted there and a
+        rerun with the same config resumes after the last completed chunk
+        (capability upgrade over the reference, SURVEY.md §5.3).
     """
     if isinstance(key, int):
         key = jax.random.PRNGKey(key)
@@ -187,9 +191,16 @@ def match_audio(
 
     results = []
     out_audio = []
+    start_chunk = 0
+    if checkpoint_dir is not None:
+        from ..utils import chunk_store
+
+        start_chunk, results, out_audio, key = chunk_store.resume(
+            checkpoint_dir, cfg, key
+        )
     if benchmarker is not None:
         benchmarker.start_timer("Total Audio Analysis Time")
-    for i in range(num_chunks):
+    for i in range(start_chunk, num_chunks):
         if benchmarker is not None:
             benchmarker.start_timer("chunk")
         key, sub = jax.random.split(key)
@@ -200,16 +211,17 @@ def match_audio(
         jax.block_until_ready(best_audio)
         if benchmarker is not None:
             benchmarker.pause_timer("chunk")
-        results.append(
-            ChunkResult(
-                best_params_scaled=np.asarray(best_scaled),
-                best_params_norm=np.asarray(final.best_values),
-                best_fitness=float(final.best_fitness),
-                generations_run=int(final.generation),
-                trajectory=None if traj is None else np.asarray(traj),
-            )
+        result = ChunkResult(
+            best_params_scaled=np.asarray(best_scaled),
+            best_params_norm=np.asarray(final.best_values),
+            best_fitness=float(final.best_fitness),
+            generations_run=int(final.generation),
+            trajectory=None if traj is None else np.asarray(traj),
         )
+        results.append(result)
         out_audio.append(np.asarray(best_audio))
+        if checkpoint_dir is not None:
+            chunk_store.save_chunk(checkpoint_dir, cfg, i, result, out_audio[-1], key)
     if benchmarker is not None:
         benchmarker.pause_timer("Total Audio Analysis Time")
     return MatchResult(

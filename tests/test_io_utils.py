@@ -1,0 +1,241 @@
+"""Tests for io (wav, config), utils (benchmarker, csv, checkpoint), CLI."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pmfm_tpu.io import parse_config, read_wav, write_wav
+from pmfm_tpu.utils import Benchmarker, CSVLogger, CSV_FIELDS
+
+
+class TestWav:
+    @pytest.mark.parametrize("depth", [16, 24, 32, 0])
+    def test_roundtrip(self, tmp_path, depth):
+        rng = np.random.default_rng(0)
+        audio = rng.uniform(-0.9, 0.9, 1000).astype(np.float32)
+        p = tmp_path / f"t{depth}.wav"
+        write_wav(p, audio, 22050, bit_depth=depth)
+        back, sr = read_wav(p)
+        assert sr == 22050
+        tol = {16: 1e-4, 24: 1e-6, 32: 1e-8, 0: 1e-8}[depth]
+        np.testing.assert_allclose(back, audio, atol=tol)
+
+    def test_normalize(self, tmp_path):
+        audio = np.array([0.0, 3000.0, -1500.0], np.float32)
+        p = tmp_path / "n.wav"
+        write_wav(p, audio, 44100, bit_depth=0, normalize=True)
+        back, _ = read_wav(p)
+        np.testing.assert_allclose(back, [0.0, 1.0, -0.5], atol=1e-7)
+
+    def test_stereo_read_averages(self, tmp_path):
+        import struct
+
+        # hand-rolled 2-channel 16-bit file
+        frames = np.array([[100, 300], [-200, -400]], np.int16)
+        payload = frames.astype("<i2").tobytes()
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 8000 * 4, 4, 16)
+        hdr += b"data" + struct.pack("<I", len(payload))
+        p = tmp_path / "st.wav"
+        p.write_bytes(hdr + payload)
+        back, sr = read_wav(p)
+        assert sr == 8000
+        np.testing.assert_allclose(back * 32768.0, [200.0, -300.0])
+
+    def test_bad_file_raises(self, tmp_path):
+        p = tmp_path / "bad.wav"
+        p.write_bytes(b"not a wav file at all")
+        with pytest.raises(ValueError):
+            read_wav(p)
+
+
+class TestConfig:
+    def test_reference_parameters_json_parses(self):
+        """The reference's own parameters.json schema must load unmodified."""
+        j = {
+            "general": {"isDebug": True, "isAudio": True,
+                        "outputAudioPath": "output_audio/output.wav",
+                        "isBenchmarking": True, "isLog": True},
+            "audio": {"sampleRate": 44100, "audioLengthLog2": 11,
+                      "wavetableSize": 327680},
+            "evolutionary": {"numParents": 16, "numOffspring": 16,
+                             "numDimensions": 6,
+                             "paramMins": [0.0] * 6,
+                             "paramMaxs": [3520.0, 8.0, 3520.0, 8.0, 3520.0, 8.0],
+                             "fitnessThreshold": 0.00001,
+                             "numGenerations": 1000},
+            "type": {"implementation": "CPU",
+                     "OpenCL": {"workgroupSize": 32},
+                     "input": "params",
+                     "params": [3078, 2.0, 3015, 1.5, 3141, 1.0],
+                     "audio": "input_audio/input.wav"},
+        }
+        rc = parse_config(j)
+        assert rc.es.num_parents == 16
+        assert rc.es.population_size == 32
+        assert rc.es.topology == "fm3_series"
+        assert rc.es.audio_length_log2 == 11
+        assert rc.es.wavetable_size == 327680  # honoured, unlike the reference
+        assert rc.es.fitness_threshold == 0.0  # dead knob stays dead unless opted in
+        assert rc.num_generations == 1000
+        assert rc.input_mode == "params"
+        assert rc.input_params[0] == 3078.0
+
+    def test_defaults_and_dims_inference(self):
+        rc = parse_config({"evolutionary": {"numDimensions": 4}})
+        assert rc.es.topology == "fm2"
+        assert rc.es.param_maxs == (3520.0, 8.0, 3520.0, 1.0)
+        rc12 = parse_config({"evolutionary": {"numDimensions": 12}})
+        assert rc12.es.topology == "fm3_parallel"
+
+    def test_tpu_extension_block(self):
+        rc = parse_config(
+            {
+                "evolutionary": {"numDimensions": 6, "fitnessThreshold": 0.5},
+                "tpu": {"spectrumMethod": "rfft", "oscMode": "exact",
+                        "mutationNoise": "normal", "useFitnessThreshold": True,
+                        "meshShape": [4, 2], "meshAxisNames": ["pop", "x"]},
+            }
+        )
+        assert rc.es.spectrum_method == "rfft"
+        assert rc.es.osc_mode == "exact"
+        assert rc.es.fitness_threshold == 0.5
+        assert rc.mesh_shape == (4, 2)
+
+    def test_bad_dims_raises(self):
+        with pytest.raises(ValueError):
+            parse_config({"evolutionary": {"numDimensions": 5}})
+
+
+class TestBenchmarker:
+    def test_stats_and_csv(self, tmp_path):
+        p = tmp_path / "log.csv"
+        bm = Benchmarker(csv_path=str(p), quiet=True)
+        for d in (10.0, 20.0, 40.0):
+            bm.add_timer("stage", d)
+        row = bm.elapsed_timer("stage")
+        assert row["Total_Time"] == 70.0
+        assert row["Average_Time"] == pytest.approx(70.0 / 3)
+        assert row["Max_Time"] == 40.0
+        assert row["Min_Time"] == 10.0
+        assert row["Max_Difference"] == 20.0  # |20-10|, |40-20|
+        assert row["Average_Difference"] == 15.0
+        bm.close()
+        lines = p.read_text().strip().split("\n")
+        assert lines[0] == ",".join(CSV_FIELDS)
+        assert lines[1].startswith("stage,70.0,")
+
+    def test_live_timers(self):
+        bm = Benchmarker(quiet=True)
+        bm.start_timer("t")
+        bm.pause_timer("t")
+        r = bm.elapsed_timer("t")
+        assert r["Total_Time"] >= 0.0
+        with pytest.raises(RuntimeError):
+            bm.pause_timer("never_started")
+
+    def test_log_filename_matches_reference_scheme(self):
+        assert (
+            Benchmarker.log_filename("tpu", 32, 1000, 2048)
+            == "tpulog(pop=32gens=1000audioBlockSize=2048).csv"
+        )
+
+    def test_csv_logger_field_mismatch(self, tmp_path):
+        log = CSVLogger(tmp_path / "x.csv", ["a", "b"])
+        with pytest.raises(ValueError):
+            log.add_record([1, 2, 3])
+        log.close()
+
+
+class TestCheckpoint:
+    def test_state_roundtrip(self, tmp_path):
+        import jax
+
+        from pmfm_tpu.es import ESConfig, init_state
+        from pmfm_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+        cfg = ESConfig(num_parents=4, num_offspring=4, num_dimensions=4,
+                       topology="fm2", param_mins=(0.0,) * 4,
+                       param_maxs=(1.0,) * 4, audio_length_log2=8)
+        s = init_state(jax.random.PRNGKey(0), cfg)
+        save_checkpoint(tmp_path, s, cfg, chunk_index=3)
+        out = load_checkpoint(tmp_path, cfg)
+        assert out is not None
+        s2, ci = out
+        assert ci == 3
+        np.testing.assert_array_equal(np.asarray(s.parent_values), np.asarray(s2.parent_values))
+        # mismatched config -> None
+        assert load_checkpoint(tmp_path, cfg.replace(num_parents=8)) is None
+
+    def test_match_audio_resume(self, tmp_path):
+        from pmfm_tpu.es import ESConfig, match_audio
+
+        cfg = ESConfig(num_parents=8, num_offspring=8, num_dimensions=4,
+                       topology="fm2", param_mins=(0.0,) * 4,
+                       param_maxs=(3520.0, 8.0, 3520.0, 1.0), audio_length_log2=8)
+        tgt = np.random.default_rng(1).standard_normal(2 * 256).astype(np.float32)
+        r1 = match_audio(tgt, cfg, key=5, num_generations=4,
+                         checkpoint_dir=str(tmp_path))
+        assert len(list(tmp_path.glob("chunk_*.npz"))) == 2
+        # resume: all chunks restored, nothing recomputed, identical results
+        r2 = match_audio(tgt, cfg, key=5, num_generations=4,
+                         checkpoint_dir=str(tmp_path))
+        assert len(r2.chunks) == 2
+        np.testing.assert_array_equal(
+            r1.chunks[1].best_params_scaled, r2.chunks[1].best_params_scaled
+        )
+        np.testing.assert_array_equal(r1.output_audio, r2.output_audio)
+
+
+class TestCLI:
+    def _write_cfg(self, tmp_path, **over):
+        cfg = {
+            "general": {"isAudio": True,
+                        "outputAudioPath": str(tmp_path / "out.wav"),
+                        "isBenchmarking": False, "isLog": False},
+            "audio": {"sampleRate": 44100, "audioLengthLog2": 9},
+            "evolutionary": {"numParents": 8, "numOffspring": 8,
+                             "numDimensions": 6, "numGenerations": 3,
+                             "paramMins": [0.0] * 6,
+                             "paramMaxs": [3520.0, 8.0, 3520.0, 8.0, 3520.0, 8.0]},
+            "type": {"implementation": "TPU", "input": "params",
+                     "params": [3078, 2.0, 3015, 1.5, 3141, 1.0]},
+        }
+        for k, v in over.items():
+            cfg[k].update(v)
+        p = tmp_path / "cfg.json"
+        p.write_text(json.dumps(cfg))
+        return p
+
+    def test_params_mode_end_to_end(self, tmp_path, capsys, monkeypatch):
+        from pmfm_tpu.cli import main
+
+        monkeypatch.chdir(tmp_path)
+        rc = main(["-j", str(self._write_cfg(tmp_path)),
+                   "--input-generated-path", str(tmp_path / "inputGenerated.wav")])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "Total time to complete" in out
+        assert "Overall best parameters found" in out
+        assert (tmp_path / "out.wav").exists()
+        assert (tmp_path / "inputGenerated.wav").exists()
+        # output wav is the resynthesised best for 4 chunks of 512
+        audio, sr = read_wav(tmp_path / "out.wav")
+        assert sr == 44100 and len(audio) == 2048
+
+    def test_audio_mode(self, tmp_path, capsys):
+        from pmfm_tpu.cli import main
+
+        wav_path = tmp_path / "target.wav"
+        write_wav(wav_path, np.random.default_rng(0).uniform(-0.5, 0.5, 1024).astype(np.float32), 44100)
+        cfgp = self._write_cfg(tmp_path, type={"input": "audio", "audio": str(wav_path)})
+        rc = main(["-j", str(cfgp), "--quiet"])
+        assert rc == 0
+        assert (tmp_path / "out.wav").exists()
+
+    def test_missing_config(self, capsys):
+        from pmfm_tpu.cli import main
+
+        assert main(["-j", "/nonexistent.json"]) == 2
+        assert "usage" in capsys.readouterr().err
