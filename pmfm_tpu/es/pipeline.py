@@ -104,9 +104,12 @@ def evolve(
 
 
 @lru_cache(maxsize=32)
-def _compiled_chunk_matcher(cfg: ESConfig, num_generations: int, record_trajectory: bool):
+def _compiled_chunk_matcher(
+    cfg: ESConfig, num_generations: int, record_trajectory: bool, mesh=None
+):
     """jit-compiled: (key, target_audio_chunk) -> (final_state, trajectory,
-    best_scaled_params, resynthesised_best_audio)."""
+    best_scaled_params, resynthesised_best_audio). With ``mesh`` the evolve
+    loop runs population-sharded (parallel/sharded.py)."""
     so = make_spectrum_ops(cfg)
     mins = jnp.asarray(cfg.param_mins, jnp.float32)
     maxs = jnp.asarray(cfg.param_maxs, jnp.float32)
@@ -115,8 +118,15 @@ def _compiled_chunk_matcher(cfg: ESConfig, num_generations: int, record_trajecto
     def run(key, target_audio):
         tspec = spectral.target_spectrum(target_audio, so)
         state = init_state(key, cfg)
-        final, traj = evolve(state, tspec, num_generations, so, cfg,
-                             record_trajectory)
+        if mesh is not None:
+            from ..parallel.sharded import evolve_sharded
+
+            final, traj = evolve_sharded(
+                state, tspec, num_generations, so, cfg, mesh, record_trajectory
+            )
+        else:
+            final, traj = evolve(state, tspec, num_generations, so, cfg,
+                                 record_trajectory)
         best_scaled = synthesis.scale_params(final.best_values, mins, maxs)
         best_audio = synthesis.synthesize(
             best_scaled[None, :],
@@ -161,6 +171,7 @@ def match_audio(
     record_trajectory: bool = False,
     benchmarker: Any | None = None,
     checkpoint_dir: str | None = None,
+    mesh: Any | None = None,
 ) -> MatchResult:
     """Match FM parameters chunk-by-chunk over a target waveform.
 
@@ -187,7 +198,7 @@ def match_audio(
             f"target audio ({len(target_audio)} samples) shorter than one "
             f"chunk ({chunk})"
         )
-    run = _compiled_chunk_matcher(cfg, num_generations, record_trajectory)
+    run = _compiled_chunk_matcher(cfg, num_generations, record_trajectory, mesh)
 
     results = []
     out_audio = []

@@ -1,0 +1,110 @@
+"""Distributed tests on the virtual 8-device CPU mesh (SURVEY.md §4d)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pmfm_tpu.es import ESConfig, init_state, make_spectrum_ops, match_audio
+from pmfm_tpu.ops import scale_params, synthesize_single, target_spectrum
+from pmfm_tpu.parallel import (
+    POP_AXIS,
+    evolve_sharded,
+    make_mesh,
+    sharded_generation_step,
+)
+
+CFG = ESConfig(
+    num_parents=8,
+    num_offspring=56,  # population 64 -> 8 per device on 8 devices
+    num_dimensions=4,
+    topology="fm2",
+    param_mins=(0.0,) * 4,
+    param_maxs=(3520.0, 8.0, 3520.0, 1.0),
+    audio_length_log2=8,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh()
+
+
+@pytest.fixture(scope="module")
+def tspec():
+    so = make_spectrum_ops(CFG)
+    mins = jnp.asarray(CFG.param_mins)
+    maxs = jnp.asarray(CFG.param_maxs)
+    true_norm = jnp.asarray([0.25, 0.25, 0.5, 0.9], jnp.float32)
+    audio = synthesize_single(scale_params(true_norm, mins, maxs), CFG.n_samples, CFG.topology)
+    return target_spectrum(audio, so)
+
+
+class TestMesh:
+    def test_make_mesh_default(self, mesh):
+        assert mesh.shape[POP_AXIS] == 8
+
+    def test_make_mesh_too_big(self):
+        with pytest.raises(ValueError):
+            make_mesh(shape=(1024,))
+
+
+class TestShardedStep:
+    def test_step_runs_and_is_replicated(self, mesh, tspec):
+        so = make_spectrum_ops(CFG)
+        state = init_state(jax.random.PRNGKey(0), CFG)
+        out = sharded_generation_step(state, tspec, so, CFG, mesh)
+        assert out.parent_values.shape == (CFG.num_parents, 4)
+        assert int(out.generation) == 1
+        # parent fitness sorted ascending (global top-k merge)
+        pf = np.asarray(out.parent_fitness)
+        assert np.all(np.diff(pf) >= 0)
+        assert float(out.best_fitness) == pf[0]
+
+    def test_population_not_divisible_raises(self, mesh, tspec):
+        so = make_spectrum_ops(CFG)
+        cfg = CFG.replace(num_offspring=53)  # population 61
+        state = init_state(jax.random.PRNGKey(0), cfg)
+        with pytest.raises(ValueError):
+            sharded_generation_step(state, tspec, so, cfg, mesh)
+
+    def test_local_population_smaller_than_mu_raises(self, mesh, tspec):
+        so = make_spectrum_ops(CFG)
+        cfg = CFG.replace(num_parents=16, num_offspring=16)  # 4 per device < 16
+        state = init_state(jax.random.PRNGKey(0), cfg)
+        with pytest.raises(ValueError):
+            sharded_generation_step(state, tspec, so, cfg, mesh)
+
+    def test_sharded_beats_single_shard_budget(self, mesh, tspec):
+        """8-way sharded step evaluates 8x the candidates of one shard; its
+        merged top-k must be at least as good as any single shard's would be
+        in expectation — sanity-check convergence over a few generations."""
+        so = make_spectrum_ops(CFG)
+        state = init_state(jax.random.PRNGKey(1), CFG)
+        final, traj = evolve_sharded(state, tspec, 6, so, CFG, mesh,
+                                     record_trajectory=True)
+        t = np.asarray(traj)
+        assert t.shape == (6,)
+        assert np.all(np.diff(t) <= 1e-6)  # best-ever monotone
+        assert np.isfinite(t[-1])
+
+    def test_match_audio_with_mesh(self, mesh):
+        mins = np.zeros(4, np.float32)
+        maxs = np.asarray(CFG.param_maxs, np.float32)
+        true_norm = np.asarray([0.25, 0.25, 0.5, 0.9], np.float32)
+        tgt = np.asarray(
+            synthesize_single(jnp.asarray(true_norm * maxs), CFG.n_samples, CFG.topology)
+        )
+        res = match_audio(tgt, CFG, key=3, num_generations=8, mesh=mesh,
+                          record_trajectory=True)
+        assert len(res.chunks) == 1
+        assert res.chunks[0].trajectory.shape == (8,)
+        assert res.chunks[0].best_fitness < res.chunks[0].trajectory[0] * 1.0 + 1e-6
+
+    def test_early_stop_sharded(self, mesh, tspec):
+        so = make_spectrum_ops(CFG)
+        cfg = CFG.replace(fitness_threshold=1e30)
+        state = init_state(jax.random.PRNGKey(2), cfg)
+        final, _ = evolve_sharded(state, tspec, 50, so, cfg, mesh)
+        assert int(final.generation) == 1
