@@ -239,3 +239,36 @@ class TestCLI:
 
         assert main(["-j", "/nonexistent.json"]) == 2
         assert "usage" in capsys.readouterr().err
+
+
+class TestNativeRuntime:
+    def test_native_roundtrip_and_interop(self, tmp_path):
+        from pmfm_tpu.native import runtime
+
+        if not runtime.build():
+            pytest.skip("no C++ toolchain")
+        assert runtime.available()
+        a = np.random.default_rng(0).uniform(-0.9, 0.9, 777).astype(np.float32)
+        p = str(tmp_path / "n.wav")
+        assert runtime.write_wav(p, a, 44100, 24)
+        back, sr = runtime.read_wav(p)
+        assert sr == 44100
+        np.testing.assert_allclose(back, a, atol=2e-7)
+        # python codec reads native-written files
+        b2, sr2 = read_wav(p)
+        np.testing.assert_allclose(b2, a, atol=2e-7)
+        # native csv matches python csv schema
+        cp = str(tmp_path / "n.csv")
+        log = runtime.NativeCSVLogger(cp, list(CSV_FIELDS))
+        log.add_record(["x", "1", "2", "3", "4", "5", "6"])
+        log.close()
+        lines = open(cp).read().strip().split("\n")
+        assert lines[0] == ",".join(CSV_FIELDS)
+        assert lines[1] == "x,1,2,3,4,5,6"
+
+    def test_monotonic_ms(self):
+        from pmfm_tpu.native import runtime
+
+        t1 = runtime.monotonic_ms()
+        t2 = runtime.monotonic_ms()
+        assert t2 >= t1
