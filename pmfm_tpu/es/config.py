@@ -40,7 +40,8 @@ class ESConfig:
     alpha: float = 1.4
 
     # engine knobs (new, TPU-native)
-    osc_mode: str = "floor"  # "floor" | "exact" | "table"
+    synthesis_engine: str = "scan"  # "scan" (reference parity) | "scanless" (fast)
+    osc_mode: str = "floor"  # "floor" | "exact" | "table" (scan engine only)
     spectrum_method: str = "dft"  # "dft" | "rfft"
     num_bins: int | None = None  # default N//2 (CPU ground-truth band)
     recombine_mode: str = "gather"  # "gather" | "compat_shuffle" | "off"
@@ -63,6 +64,8 @@ class ESConfig:
             )
         if len(self.param_mins) != self.num_dimensions or len(self.param_maxs) != self.num_dimensions:
             raise ValueError("param_mins/param_maxs length must equal num_dimensions")
+        if self.synthesis_engine not in ("scan", "scanless"):
+            raise ValueError("synthesis_engine must be 'scan' or 'scanless'")
         if self.recombine_mode not in RECOMBINE_MODES:
             raise ValueError(f"recombine_mode must be one of {RECOMBINE_MODES}")
         if self.mutation_noise not in MUTATION_NOISE_MODES:

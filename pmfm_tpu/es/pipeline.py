@@ -136,6 +136,7 @@ def _compiled_chunk_matcher(
             sample_rate=cfg.sample_rate,
             osc_mode=cfg.osc_mode,
             unroll=cfg.scan_unroll,
+            engine=cfg.synthesis_engine,
         )[:, 0]
         return final, traj, best_scaled, best_audio
 

@@ -219,6 +219,7 @@ def evaluate(
         sample_rate=cfg.sample_rate,
         osc_mode=cfg.osc_mode,
         unroll=cfg.scan_unroll,
+        engine=cfg.synthesis_engine,
     )
     return spectral.evaluate_fitness(audio, target_spectrum, spectrum_ops)
 

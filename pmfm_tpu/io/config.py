@@ -109,6 +109,7 @@ def parse_config(j: dict[str, Any]) -> RunConfig:
         audio_length_log2=int(audio.get("audioLengthLog2", 10)),
         sample_rate=int(audio.get("sampleRate", 44100)),
         wavetable_size=int(audio.get("wavetableSize", 32768)),
+        synthesis_engine=tpu.get("synthesisEngine", "scan"),
         osc_mode=tpu.get("oscMode", "floor"),
         spectrum_method=tpu.get("spectrumMethod", "dft"),
         num_bins=tpu.get("numBins"),

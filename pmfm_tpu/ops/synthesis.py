@@ -74,17 +74,33 @@ def synthesize(
     osc_mode: str = "floor",
     wavetable: jax.Array | None = None,
     unroll: int = 8,
+    engine: str = "scan",
 ) -> jax.Array:
     """Batched FM synthesis.
 
     Args:
       params_scaled: ``(pop, dims)`` already-scaled synth parameters.
       n_samples: samples per candidate (the reference's AUDIO_WAVE_FORM_SIZE).
+      engine: ``"scan"`` (sequential recurrence, reference bit-parity) or
+        ``"scanless"`` (blocked prefix-sum formulation, see ops/scanless.py —
+        the fast TPU path; ignores ``osc_mode``/``wavetable``).
 
     Returns:
       ``(n_samples, pop)`` float32 audio (time-major; see module docstring).
     """
     _check_topology(topology, params_scaled.shape[-1])
+    if engine == "scanless":
+        from .scanless import synthesize_scanless
+
+        return synthesize_scanless(
+            params_scaled,
+            n_samples,
+            topology,
+            wavetable_size=wavetable_size,
+            sample_rate=sample_rate,
+        )
+    if engine != "scan":
+        raise ValueError(f"engine must be 'scan' or 'scanless', got {engine!r}")
     p = params_scaled.astype(jnp.float32)
     osc = make_osc(osc_mode, wavetable_size, wavetable)
     w2sr = jnp.float32(wavetable_size / float(sample_rate))  # w2srRatio, Evolutionary_Strategy.hpp:203

@@ -20,7 +20,11 @@ def main():
     ap.add_argument("--log2", type=int, default=10)
     ap.add_argument("--gens", type=int, default=20)
     ap.add_argument("--parents", type=int, default=256)
-    ap.add_argument("--variants", default="dft:floor,rfft:floor,dft:exact,dft_bf16:floor")
+    ap.add_argument(
+        "--variants",
+        default="dft:floor,rfft:floor,dft:exact,dft_bf16:floor",
+        help="comma list of method:osc; prefix 'sl_' on method = scanless engine",
+    )
     args = ap.parse_args()
 
     from pmfm_tpu.es import ESConfig, init_state, make_spectrum_ops
@@ -29,10 +33,14 @@ def main():
     print("devices:", jax.devices())
     for variant in args.variants.split(","):
         method, osc = variant.split(":")
+        engine = "scan"
+        if method.startswith("sl_"):
+            engine, method = "scanless", method[3:]
         dft_dtype = "float32"
         if method == "dft_bf16":
             method, dft_dtype = "dft", "bfloat16"
         cfg = ESConfig(
+            synthesis_engine=engine,
             num_parents=args.parents,
             num_offspring=args.pop - args.parents,
             num_dimensions=6,
