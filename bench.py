@@ -1,0 +1,82 @@
+"""Headline benchmark: candidate-evaluations/sec/chip.
+
+Config (BASELINE.json): population 2^15, 1024-pt frames, 3-op serial FM —
+the full fused ES generation (recombine, mutate, synthesise, window, FFT,
+fitness, select) resident on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline is measured against an RTX 2080 Ti estimate for the reference
+OpenCL pipeline at the same config. The reference repo publishes no numbers
+(BASELINE.md), so the baseline is derived from its kernel structure:
+per generation at pop 2^15, N=1024 on a 2080 Ti (13.4 TFLOP/s fp32,
+616 GB/s): synthesis ~0.84 GFLOP (~60-100us with wavetable gathers), clFFT
+batch ~1.7 GFLOP (~130us), fitness ~0.13 GFLOP, but the enumeration sort is
+O(P^2/WG) = 33G ops (~2.5ms) and each of 8 stages is host-synchronised
+(~10-20us each) -> ~3ms/generation ~= 10M candidate-evals/s. We use
+BASELINE_2080TI_EVALS_PER_SEC = 10e6. The BASELINE.json north-star target of
+">=10x 2080 Ti on v5e-8" therefore means ~12.5M evals/s/chip.
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+BASELINE_2080TI_EVALS_PER_SEC = 10e6
+
+POP = 1 << 15
+AUDIO_LOG2 = 10
+GENS = 100
+MU = 256
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pmfm_tpu.es import ESConfig, init_state, make_spectrum_ops
+    from pmfm_tpu.es.pipeline import evolve
+
+    cfg = ESConfig(
+        num_parents=MU,
+        num_offspring=POP - MU,
+        num_dimensions=6,
+        topology="fm3_series",
+        audio_length_log2=AUDIO_LOG2,
+        synthesis_engine="scanless",
+        spectrum_method="dft",
+        dft_dtype="bfloat16",
+        mutation_noise="clt12",
+    )
+    so = make_spectrum_ops(cfg)
+    tspec = jnp.ones((so.num_bins,), jnp.float32)
+
+    @jax.jit
+    def run(key):
+        state = init_state(key, cfg)
+        final, _ = evolve(state, tspec, GENS, so, cfg)
+        return final.best_fitness
+
+    jax.block_until_ready(run(jax.random.PRNGKey(0)))  # compile + warm
+    best = None
+    for i in range(3):
+        t0 = time.time()
+        jax.block_until_ready(run(jax.random.PRNGKey(i)))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    evals_per_sec = POP * GENS / best
+    print(
+        json.dumps(
+            {
+                "metric": "candidate-evaluations/sec/chip (pop 2^15, 1024-pt FFT)",
+                "value": round(evals_per_sec, 1),
+                "unit": "evals/s",
+                "vs_baseline": round(evals_per_sec / BASELINE_2080TI_EVALS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

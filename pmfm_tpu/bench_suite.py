@@ -1,0 +1,219 @@
+"""Benchmark suite.
+
+Implements the reference's PLANNED benchmark list, which its code sketches
+but never implements (main.cpp:291-301):
+
+  1 OverallExecution      — end-to-end match wall time
+  2 ProgramStageExecution — per-stage device time
+  3 AudioAnalysisChunkSize— sweep audioLengthLog2
+  4 PopulationScaling     — sweep population size
+  5 Optimizations on/off  — engine ablations (scan vs scanless, dft vs rfft,
+                            f32 vs bf16, fused Pallas kernel on/off)
+  (6 Discrete-vs-integrated GPU has no TPU analog; the nearest equivalent,
+   single-chip vs sharded mesh, is covered by tools/ + parallel/.)
+
+Every suite writes the reference's 7-column CSV schema
+(Benchmarker.hpp:132-162) via utils.Benchmarker for direct comparability.
+
+Usage: python -m pmfm_tpu.bench_suite [--suite all] [--pop 32768] ...
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _steady_time(fn, *args, reps=3):
+    import jax
+
+    jax.block_until_ready(fn(*args))
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _make_runner(cfg, gens):
+    import jax
+    import jax.numpy as jnp
+
+    from .es import init_state, make_spectrum_ops
+    from .es.pipeline import evolve
+
+    so = make_spectrum_ops(cfg)
+    tspec = jnp.ones((so.num_bins,), jnp.float32)
+
+    @jax.jit
+    def run(key):
+        state = init_state(key, cfg)
+        final, _ = evolve(state, tspec, gens, so, cfg)
+        return final.best_fitness
+
+    import jax.random as jr
+
+    return lambda: run(jr.PRNGKey(0))
+
+
+def _base_cfg(args, **over):
+    from .es import ESConfig
+
+    kw = dict(
+        num_parents=args.parents,
+        num_offspring=args.pop - args.parents,
+        num_dimensions=6,
+        topology="fm3_series",
+        audio_length_log2=args.log2,
+        synthesis_engine="scanless",
+        spectrum_method="dft",
+        dft_dtype="bfloat16",
+        fused_kernel=args.fused,
+    )
+    kw.update(over)
+    return ESConfig(**kw)
+
+
+def suite_overall(args, bm):
+    cfg = _base_cfg(args)
+    dt = _steady_time(_make_runner(cfg, args.gens))
+    bm.add_timer("OverallExecution", dt * 1e3)
+    evals = cfg.population_size * args.gens / dt
+    print(f"OverallExecution: {dt*1e3:.1f}ms for {args.gens} gens "
+          f"({evals/1e6:.2f}M evals/s)")
+    bm.elapsed_timer("OverallExecution")
+
+
+def suite_stages(args, bm):
+    """Per-stage timing inside a compiled loop (tools/tpu_stage_profile.py
+    logic, recorded to CSV)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .es import make_spectrum_ops
+    from .es.strategy import evaluate, mutate, recombine, select
+    from .ops import magnitude_spectrum, synthesize
+
+    cfg = _base_cfg(args)
+    so = make_spectrum_ops(cfg)
+    P, N, MU = cfg.population_size, cfg.n_samples, cfg.num_parents
+    key = jax.random.PRNGKey(0)
+    tspec = jnp.ones((so.num_bins,), jnp.float32)
+    values = jax.random.uniform(key, (P, cfg.num_dimensions))
+    steps = jnp.full_like(values, 0.1)
+    audio = jax.random.normal(key, (N, P), jnp.float32)
+    fitness = jax.random.uniform(key, (P,), jnp.float32)
+    scaled = values * 3000.0
+
+    def timed_loop(stage_fn, x, iters=30):
+        @jax.jit
+        def run(x0):
+            def body(i, carry):
+                xp, acc = carry
+                out = stage_fn(xp + acc * 1e-30)
+                return xp, acc + jnp.sum(out).astype(jnp.float32) * 1e-30
+            _, acc = jax.lax.fori_loop(0, iters, body, (x0, jnp.float32(0.0)))
+            return acc
+        jax.block_until_ready(run(x))
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(x))
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    stages = [
+        ("recombinePopulation", lambda v: recombine(key, v[:MU], steps[:MU], cfg)[0], values),
+        ("mutatePopulation", lambda v: mutate(key, v, steps, cfg)[0], values),
+        ("synthesisePopulation", lambda p: synthesize(p, N, cfg.topology, engine=cfg.synthesis_engine), scaled),
+        ("applyWindow+FFT", lambda a: magnitude_spectrum(a, so), audio),
+        ("fitness+sort(topk)", lambda f: select(values, steps, f, MU)[2], fitness),
+        ("evaluateFused", lambda v: evaluate(v, tspec, so, cfg), values),
+    ]
+    for name, fn, x in stages:
+        ms = timed_loop(fn, x)
+        bm.add_timer(name, ms)
+        print(f"{name:24s} {ms:8.3f} ms")
+        bm.elapsed_timer(name)
+
+
+def suite_chunk_size(args, bm):
+    for log2 in (9, 10, 11, 12):
+        cfg = _base_cfg(args, audio_length_log2=log2)
+        dt = _steady_time(_make_runner(cfg, args.gens))
+        name = f"AudioAnalysisChunkSize_{1<<log2}"
+        bm.add_timer(name, dt * 1e3)
+        print(f"{name}: {dt*1e3:.1f}ms ({cfg.population_size*args.gens/dt/1e6:.2f}M evals/s)")
+        bm.elapsed_timer(name)
+
+
+def suite_population(args, bm):
+    for pop_log2 in (11, 13, 15, 17):
+        pop = 1 << pop_log2
+        mu = max(args.parents, pop // 128)
+        cfg = _base_cfg(args, num_parents=mu, num_offspring=pop - mu)
+        dt = _steady_time(_make_runner(cfg, args.gens))
+        name = f"PopulationScaling_2^{pop_log2}"
+        bm.add_timer(name, dt * 1e3)
+        print(f"{name}: {dt*1e3:.1f}ms ({pop*args.gens/dt/1e6:.2f}M evals/s)")
+        bm.elapsed_timer(name)
+
+
+def suite_optimizations(args, bm):
+    variants = {
+        "scan+rfft+f32": dict(synthesis_engine="scan", spectrum_method="rfft",
+                              dft_dtype="float32", fused_kernel=False),
+        "scan+dft+f32": dict(synthesis_engine="scan", spectrum_method="dft",
+                             dft_dtype="float32", fused_kernel=False),
+        "scanless+dft+f32": dict(synthesis_engine="scanless", spectrum_method="dft",
+                                 dft_dtype="float32", fused_kernel=False),
+        "scanless+dft+bf16": dict(synthesis_engine="scanless", spectrum_method="dft",
+                                  dft_dtype="bfloat16", fused_kernel=False),
+        "fused-pallas": dict(synthesis_engine="scanless", spectrum_method="dft",
+                             dft_dtype="bfloat16", fused_kernel=True),
+    }
+    for name, over in variants.items():
+        cfg = _base_cfg(args, **over)
+        dt = _steady_time(_make_runner(cfg, args.gens))
+        bm.add_timer(f"Opt_{name}", dt * 1e3)
+        print(f"Opt_{name:22s}: {dt*1e3:8.1f}ms "
+              f"({cfg.population_size*args.gens/dt/1e6:.2f}M evals/s)")
+        bm.elapsed_timer(f"Opt_{name}")
+
+
+SUITES = {
+    "overall": suite_overall,
+    "stages": suite_stages,
+    "chunk_size": suite_chunk_size,
+    "population": suite_population,
+    "optimizations": suite_optimizations,
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--suite", default="all", help=f"one of {list(SUITES)} or 'all'")
+    ap.add_argument("--pop", type=int, default=1 << 15)
+    ap.add_argument("--parents", type=int, default=256)
+    ap.add_argument("--log2", type=int, default=10)
+    ap.add_argument("--gens", type=int, default=50)
+    ap.add_argument("--fused", action="store_true", default=False)
+    ap.add_argument("--csv", default=None, help="CSV output path")
+    args = ap.parse_args(argv)
+
+    from .utils import Benchmarker
+
+    csv = args.csv or Benchmarker.log_filename("tpu_suite", args.pop, args.gens, 1 << args.log2)
+    bm = Benchmarker(csv_path=csv, quiet=True)
+    names = list(SUITES) if args.suite == "all" else [args.suite]
+    for name in names:
+        print(f"=== {name} ===")
+        SUITES[name](args, bm)
+    bm.close()
+    print(f"wrote {csv}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -40,6 +40,8 @@ class ESConfig:
     alpha: float = 1.4
 
     # engine knobs (new, TPU-native)
+    fused_kernel: bool = False  # Pallas fused synth+DFT+fitness (kernels/)
+    pop_block: int = 512  # candidates per fused-kernel program
     synthesis_engine: str = "scan"  # "scan" (reference parity) | "scanless" (fast)
     osc_mode: str = "floor"  # "floor" | "exact" | "table" (scan engine only)
     spectrum_method: str = "dft"  # "dft" | "rfft"

@@ -122,9 +122,17 @@ def recombine(
     """
     pop, d = cfg.population_size, cfg.num_dimensions
     if cfg.recombine_mode == "gather":
-        idx = jax.random.randint(key, (pop, d), 0, parent_values.shape[0])
-        cols = jnp.arange(d)[None, :]
-        return parent_values[idx, cols], parent_steps[idx, cols]
+        mu = parent_values.shape[0]
+        idx = jax.random.randint(key, (pop, d), 0, mu)
+        # TPU gathers serialize; a one-hot contraction on the MXU is ~10x
+        # faster at pop 2^15 (one-hot stays f32 so parent genes are copied
+        # exactly). Both (values, steps) ride one one-hot tensor.
+        oh = jax.nn.one_hot(idx, mu, dtype=jnp.float32)  # (pop, d, mu)
+        parents = jnp.stack([parent_values, parent_steps], axis=-1)  # (mu, d, 2)
+        out = jnp.einsum(
+            "pdm,mdk->pdk", oh, parents, precision=jax.lax.Precision.HIGHEST
+        )
+        return out[..., 0], out[..., 1]
     if cfg.recombine_mode == "compat_shuffle":
         # source indices only ever address the parent slice (group aliasing
         # g % NUM_WGS_FOR_PARENTS keeps base_src < mu*D), so gather straight
@@ -196,6 +204,20 @@ def mutate(
 # Evaluation & selection
 # --------------------------------------------------------------------------
 
+def _fused_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
+    """Whether the Pallas fused synth+DFT+fitness kernel applies."""
+    from ..kernels.synth_fitness import TIME_BLOCK
+
+    return (
+        cfg.fused_kernel
+        and cfg.topology in ("fm2", "fm3_series")
+        and cfg.spectrum_method == "dft"
+        and spectrum_ops.dft_cos is not None
+        and cfg.n_samples % TIME_BLOCK == 0
+        and spectrum_ops.num_bins % 128 == 0
+    )
+
+
 def evaluate(
     values: jax.Array,
     target_spectrum: jax.Array,
@@ -211,6 +233,26 @@ def evaluate(
     mins = jnp.asarray(cfg.param_mins, jnp.float32)
     maxs = jnp.asarray(cfg.param_maxs, jnp.float32)
     scaled = synthesis.scale_params(values, mins, maxs)
+    if _fused_ok(cfg, spectrum_ops):
+        import jax as _jax
+
+        from ..kernels.synth_fitness import TIME_BLOCK, fused_synth_fitness
+
+        pb = cfg.pop_block
+        while cfg.population_size % pb:
+            pb //= 2
+        return fused_synth_fitness(
+            scaled,
+            spectrum_ops.dft_cos,
+            spectrum_ops.dft_sin,
+            target_spectrum,
+            topology=cfg.topology,
+            n=cfg.n_samples,
+            wavetable_size=cfg.wavetable_size,
+            sample_rate=cfg.sample_rate,
+            pop_block=pb,
+            interpret=_jax.default_backend() == "cpu",
+        )
     audio = synthesis.synthesize(
         scaled,
         cfg.n_samples,
@@ -220,6 +262,9 @@ def evaluate(
         osc_mode=cfg.osc_mode,
         unroll=cfg.scan_unroll,
         engine=cfg.synthesis_engine,
+        # when the spectrum matmul runs in bf16, emit bf16 audio directly
+        # (halves the HBM traffic of the pipeline's largest array)
+        out_dtype=jnp.bfloat16 if cfg.dft_dtype == "bfloat16" else jnp.float32,
     )
     return spectral.evaluate_fitness(audio, target_spectrum, spectrum_ops)
 

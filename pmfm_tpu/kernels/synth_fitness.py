@@ -1,0 +1,191 @@
+"""Fused Pallas kernel: FM synthesis + windowed DFT + spectral fitness.
+
+The reference's stages 4-7 (synthesisePopulation* -> applyWindowPopulation ->
+clFFT -> fitnessPopulation, SURVEY.md §2.2) with zero HBM traffic for the
+intermediates: per population block, the candidate audio is synthesised into
+VMEM scratch via the scanless prefix-sum formulation (ops/scanless.py),
+pushed through the window-folded DFT matmuls on the MXU, and reduced to one
+fitness scalar per candidate — candidate audio NEVER exists in HBM (the
+reference's largest buffer, outputAudio at popLen*N*4B,
+Evolutionary_Strategy_OpenCL.hpp:289).
+
+Grid: one program per population block of ``PB`` candidates. The DFT cos/sin
+matrices (bf16, window and 1/(N*windowFactor) normalisation folded in,
+ops/spectral.py) and the target spectrum are VMEM-resident across the whole
+grid (constant index map). Phase prefix sums run block-sequentially over
+time inside the kernel: per time block, a strictly-lower-triangular (C,C)
+MXU matmul gives intra-block exclusive phases and a (1,PB) register carries
+the running offset — all three oscillators advance in the same time loop.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.wavetable import DEFAULT_SAMPLE_RATE, DEFAULT_WAVETABLE_SIZE
+
+DEFAULT_POP_BLOCK = 512
+TIME_BLOCK = 128
+
+
+def _tri_strict(c: int) -> np.ndarray:
+    return np.tril(np.ones((c, c), np.float32), k=-1)
+
+
+def _kernel(
+    params_ref,  # (D, PB) f32  — transposed: lanes = candidates
+    cos_ref,  # (N, K) bf16
+    sin_ref,  # (N, K) bf16
+    target_ref,  # (1, K) f32
+    tri_ref,  # (C, C) f32 strictly lower triangular
+    fitness_ref,  # (1, PB) f32 out
+    audio_scratch,  # (N, PB) bf16 VMEM
+    *,
+    topology: str,
+    n: int,
+    pb: int,
+    c: int,
+    wts: float,
+    w2sr: float,
+):
+    omega = jnp.float32(2.0 * math.pi / wts)
+    wtsf = jnp.float32(wts)
+    w2srf = jnp.float32(w2sr)
+    nb = n // c
+    tri = tri_ref[:]
+
+    p = params_ref[:]  # (D, PB)
+
+    def osc(pos):
+        return jnp.sin(omega * pos)
+
+    def row(i):  # (1, PB)
+        return p[i : i + 1, :]
+
+    # strictly-lower-triangular matmul: exclusive intra-block prefix sums
+    def ex_prefix(xb):  # (C, PB) -> (C, PB)
+        return jax.lax.dot_general(
+            tri, xb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    t_block = jax.lax.broadcasted_iota(jnp.float32, (c, pb), 0)  # 0..C-1
+
+    if topology == "fm2":
+        m1 = row(0) * row(1)
+        cf, amp = row(2), row(3)
+        inc1 = jnp.mod(w2srf * row(0), wtsf)
+        chains = 1
+    elif topology == "fm3_series":
+        m1 = row(0) * row(1)
+        m2 = row(2) * row(3)
+        m3 = row(4) * row(5)
+        c1, c2 = row(3), row(5)
+        inc1 = jnp.mod(w2srf * row(1), wtsf)
+        chains = 2
+    else:
+        raise NotImplementedError(topology)
+
+    inc_blk = jnp.mod(jnp.float32(c) * inc1, wtsf)
+
+    off1 = jnp.zeros((1, pb), jnp.float32)
+    off2 = jnp.zeros((1, pb), jnp.float32)
+    off3 = jnp.zeros((1, pb), jnp.float32)
+
+    for b in range(nb):
+        pos1 = jnp.mod(t_block * inc1 + off1, wtsf)  # (C, PB)
+        if topology == "fm2":
+            cur1 = osc(pos1) * m1 + cf
+            x1 = jnp.mod(w2srf * cur1, wtsf)
+            pos2 = jnp.mod(ex_prefix(x1) + off2, wtsf)
+            out = osc(pos2) * amp
+            off2 = jnp.mod(off2 + jnp.sum(x1, axis=0, keepdims=True), wtsf)
+        else:  # fm3_series
+            cur1 = osc(pos1) * m1 + c1
+            x1 = jnp.mod(w2srf * cur1, wtsf)
+            pos2 = jnp.mod(ex_prefix(x1) + off2, wtsf)
+            off2 = jnp.mod(off2 + jnp.sum(x1, axis=0, keepdims=True), wtsf)
+            cur2 = osc(pos2) * m2 + c2
+            x2 = jnp.mod(w2srf * cur2, wtsf)
+            pos3 = jnp.mod(ex_prefix(x2) + off3, wtsf)
+            off3 = jnp.mod(off3 + jnp.sum(x2, axis=0, keepdims=True), wtsf)
+            out = osc(pos3) * m3
+        audio_scratch[b * c : (b + 1) * c, :] = out.astype(jnp.bfloat16)
+        off1 = jnp.mod(off1 + inc_blk, wtsf)
+
+    audio = audio_scratch[:]
+    dn = (((0,), (0,)), ((), ()))
+    re = jax.lax.dot_general(audio, cos_ref[:], dn, preferred_element_type=jnp.float32)
+    im = jax.lax.dot_general(audio, sin_ref[:], dn, preferred_element_type=jnp.float32)
+    mag = jnp.sqrt(re * re + im * im)  # (PB, K)
+    d = mag - target_ref[:]
+    fitness_ref[:] = jnp.sum(d * d, axis=1)[None, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("topology", "n", "wavetable_size", "sample_rate", "pop_block", "interpret"),
+)
+def fused_synth_fitness(
+    params_scaled: jax.Array,  # (P, D) f32
+    dft_cos: jax.Array,  # (N, K)
+    dft_sin: jax.Array,  # (N, K)
+    target_spectrum: jax.Array,  # (K,) f32
+    topology: str = "fm3_series",
+    n: int = 1024,
+    wavetable_size: int = DEFAULT_WAVETABLE_SIZE,
+    sample_rate: int = DEFAULT_SAMPLE_RATE,
+    pop_block: int = DEFAULT_POP_BLOCK,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fitness for the whole population; returns ``(P,)`` f32.
+
+    Requirements: P % pop_block == 0, n % 128 == 0, K % 128 == 0.
+    fm3_parallel falls back to three fused fm2-like passes upstream.
+    """
+    pop, d = params_scaled.shape
+    k = dft_cos.shape[1]
+    pb = min(pop_block, pop)
+    if pop % pb:
+        raise ValueError(f"population {pop} not divisible by pop_block {pb}")
+    if n % TIME_BLOCK:
+        raise ValueError(f"n={n} must be a multiple of {TIME_BLOCK}")
+    params_t = params_scaled.T.astype(jnp.float32)  # (D, P)
+    cosb = dft_cos.astype(jnp.bfloat16)
+    sinb = dft_sin.astype(jnp.bfloat16)
+    tgt = target_spectrum.astype(jnp.float32)[None, :]  # (1, K)
+    tri = jnp.asarray(_tri_strict(TIME_BLOCK))
+
+    kernel = functools.partial(
+        _kernel,
+        topology=topology,
+        n=n,
+        pb=pb,
+        c=TIME_BLOCK,
+        wts=float(wavetable_size),
+        w2sr=wavetable_size / float(sample_rate),
+    )
+    grid = (pop // pb,)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((pop // pb, pb), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((d, pb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (TIME_BLOCK, TIME_BLOCK), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, pb), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n, pb), jnp.bfloat16)],
+        interpret=interpret,
+    )(params_t, cosb, sinb, tgt, tri)
+    return out.reshape(pop)

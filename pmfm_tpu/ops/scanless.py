@@ -88,6 +88,7 @@ def synthesize_scanless(
     wavetable_size: int = DEFAULT_WAVETABLE_SIZE,
     sample_rate: int = DEFAULT_SAMPLE_RATE,
     cumsum_block: int = 128,
+    out_dtype=jnp.float32,
 ) -> jax.Array:
     """Batched FM synthesis without a serial scan. Returns ``(N, pop)``.
 
@@ -115,7 +116,7 @@ def synthesize_scanless(
         return osc(pos2) * amp[None, :]
 
     if topology == "fm2":
-        return two_op(p[:, 0], p[:, 1], p[:, 2], p[:, 3])
+        return two_op(p[:, 0], p[:, 1], p[:, 2], p[:, 3]).astype(out_dtype)
 
     if topology == "fm3_series":
         m1 = p[:, 0] * p[:, 1]
@@ -127,7 +128,7 @@ def synthesize_scanless(
         pos2 = cumsum(w2sr * cur1)
         cur2 = osc(pos2) * m2[None, :] + c2[None, :]
         pos3 = cumsum(w2sr * cur2)
-        return osc(pos3) * m3[None, :]
+        return (osc(pos3) * m3[None, :]).astype(out_dtype)
 
     if topology == "fm3_parallel":
         p4 = p.reshape(pop, 3, 4)
@@ -135,6 +136,6 @@ def synthesize_scanless(
             two_op(p4[:, j, 0], p4[:, j, 1], p4[:, j, 2], p4[:, j, 3])
             for j in range(3)
         ]
-        return (outs[0] + outs[1] + outs[2]) / jnp.float32(3.0)
+        return ((outs[0] + outs[1] + outs[2]) / jnp.float32(3.0)).astype(out_dtype)
 
     raise ValueError(f"unknown topology {topology!r}")

@@ -75,6 +75,7 @@ def synthesize(
     wavetable: jax.Array | None = None,
     unroll: int = 8,
     engine: str = "scan",
+    out_dtype=jnp.float32,
 ) -> jax.Array:
     """Batched FM synthesis.
 
@@ -98,6 +99,7 @@ def synthesize(
             topology,
             wavetable_size=wavetable_size,
             sample_rate=sample_rate,
+            out_dtype=out_dtype,
         )
     if engine != "scan":
         raise ValueError(f"engine must be 'scan' or 'scanless', got {engine!r}")
@@ -166,7 +168,7 @@ def synthesize(
         init = (zeros3, zeros3)
 
     _, audio = jax.lax.scan(step, init, None, length=n_samples, unroll=unroll)
-    return audio  # (n_samples, pop)
+    return audio.astype(out_dtype)  # (n_samples, pop)
 
 
 def synthesize_single(

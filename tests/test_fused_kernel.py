@@ -1,0 +1,89 @@
+"""Fused Pallas synth+DFT+fitness kernel vs the unfused scanless path.
+
+Runs in Pallas interpreter mode on CPU (conftest forces cpu); the same code
+compiles with Mosaic on TPU.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pmfm_tpu import ops
+from pmfm_tpu.es import ESConfig, init_state, make_spectrum_ops
+from pmfm_tpu.es.strategy import evaluate
+from pmfm_tpu.kernels.synth_fitness import fused_synth_fitness
+
+
+def rel_err(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
+
+
+@pytest.mark.parametrize("topology,d", [("fm2", 4), ("fm3_series", 6)])
+class TestFusedKernel:
+    def _setup(self, topology, d, n=256, pop=8):
+        rng = np.random.default_rng(0)
+        maxs = np.asarray(([3520.0, 8.0, 3520.0, 1.0] * 3)[:d], np.float32)
+        if topology == "fm3_series":
+            maxs = np.asarray([3520.0, 8.0, 3520.0, 8.0, 3520.0, 8.0], np.float32)
+        scaled = (rng.uniform(0.1, 0.9, (pop, d)).astype(np.float32)) * maxs
+        so = ops.make_spectrum_ops(n, method="dft")
+        tgt_audio = ops.synthesize(
+            jnp.asarray(scaled[:1]), n, topology, engine="scanless"
+        )
+        tgt = ops.magnitude_spectrum(tgt_audio, so)[0]
+        return jnp.asarray(scaled), so, tgt, n
+
+    def test_matches_unfused_scanless(self, topology, d):
+        scaled, so, tgt, n = self._setup(topology, d)
+        fused = fused_synth_fitness(
+            scaled, so.dft_cos, so.dft_sin, tgt,
+            topology=topology, n=n, pop_block=8, interpret=True,
+        )
+        audio = ops.synthesize(scaled, n, topology, engine="scanless",
+                               out_dtype=jnp.bfloat16)
+        re_im_ops = ops.make_spectrum_ops(n, method="dft", dft_dtype=jnp.bfloat16)
+        unfused = ops.evaluate_fitness(audio, tgt, re_im_ops)
+        f = np.asarray(fused)
+        u = np.asarray(unfused)
+        assert rel_err(f, u) < 2e-2
+        # candidate 0 synthesised the target: fitness must be ~zero relative
+        assert f[0] < 1e-4 * np.median(f)
+        assert list(np.argsort(f)) == list(np.argsort(u))
+
+    def test_via_evaluate_config_flag(self, topology, d):
+        maxs = ([3520.0, 8.0, 3520.0, 8.0, 3520.0, 8.0])[:d] if topology == "fm3_series" else [3520.0, 8.0, 3520.0, 1.0]
+        cfg = ESConfig(
+            num_parents=4, num_offspring=4, num_dimensions=d, topology=topology,
+            param_mins=(0.0,) * d, param_maxs=tuple(maxs), audio_length_log2=8,
+            fused_kernel=True, pop_block=8, synthesis_engine="scanless",
+            dft_dtype="bfloat16",
+        )
+        so = make_spectrum_ops(cfg)
+        tgt = jnp.ones((so.num_bins,), jnp.float32)
+        values = jax.random.uniform(jax.random.PRNGKey(0), (8, d))
+        fused = evaluate(values, tgt, so, cfg)
+        unfused = evaluate(values, tgt, so, cfg.replace(fused_kernel=False))
+        assert rel_err(np.asarray(fused), np.asarray(unfused)) < 2e-2
+
+    def test_pipeline_with_fused_kernel(self, topology, d):
+        from pmfm_tpu.es import match_audio
+
+        maxs = ([3520.0, 8.0, 3520.0, 8.0, 3520.0, 8.0])[:d] if topology == "fm3_series" else [3520.0, 8.0, 3520.0, 1.0]
+        cfg = ESConfig(
+            num_parents=8, num_offspring=24, num_dimensions=d, topology=topology,
+            param_mins=(0.0,) * d, param_maxs=tuple(maxs), audio_length_log2=8,
+            fused_kernel=True, pop_block=32, synthesis_engine="scanless",
+            dft_dtype="bfloat16",
+        )
+        true_norm = np.full(d, 0.4, np.float32)
+        tgt = np.asarray(
+            ops.synthesize(jnp.asarray(true_norm * np.asarray(maxs, np.float32))[None],
+                           cfg.n_samples, topology, engine="scanless")
+        )[:, 0]
+        res = match_audio(tgt, cfg, key=7, num_generations=10, record_trajectory=True)
+        c = res.chunks[0]
+        assert np.all(np.diff(c.trajectory) <= 1e-6)
+        assert np.isfinite(c.best_fitness)
