@@ -7,6 +7,8 @@ from .pipeline import (
     generation_step,
     make_spectrum_ops,
     match_audio,
+    match_audio_stft,
+    match_many,
 )
 from .strategy import ESState, evaluate, init_state, mutate, recombine, select
 
@@ -21,6 +23,8 @@ __all__ = [
     "init_state",
     "make_spectrum_ops",
     "match_audio",
+    "match_audio_stft",
+    "match_many",
     "mutate",
     "recombine",
     "select",

@@ -55,6 +55,9 @@ class ESConfig:
 
     # capability upgrades over the reference (SURVEY.md §7.2 item 8)
     fitness_threshold: float = 0.0  # 0 disables early stop (dead knob in ref)
+    # >1: one ES run scored against `num_frames` STFT frames of a longer
+    # target (BASELINE.json config 2) instead of fresh-population-per-chunk
+    num_frames: int = 1
 
     def __post_init__(self):
         if self.topology not in TOPOLOGY_DIMS:
@@ -74,6 +77,8 @@ class ESConfig:
             raise ValueError(f"mutation_noise must be one of {MUTATION_NOISE_MODES}")
         if self.num_parents <= 0 or self.num_offspring < 0:
             raise ValueError("need num_parents > 0 and num_offspring >= 0")
+        if self.num_frames < 1:
+            raise ValueError("num_frames must be >= 1")
 
     # --- derived ---------------------------------------------------------
     @property

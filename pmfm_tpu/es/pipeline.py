@@ -143,6 +143,116 @@ def _compiled_chunk_matcher(
     return run
 
 
+@lru_cache(maxsize=32)
+def _compiled_stft_matcher(cfg: ESConfig, num_generations: int, record_trajectory: bool, mesh=None):
+    """jit: (key, target_audio (F*N,)) -> (final_state, traj, best_scaled,
+    best_audio (F*N,)) — one ES run scored over all STFT frames."""
+    so = make_spectrum_ops(cfg)
+    mins = jnp.asarray(cfg.param_mins, jnp.float32)
+    maxs = jnp.asarray(cfg.param_maxs, jnp.float32)
+
+    @jax.jit
+    def run(key, target_audio):
+        tframes = spectral.target_spectrum_frames(target_audio, so)  # (F, bins)
+        if cfg.num_frames == 1:
+            tframes = tframes[0]  # single-frame fitness path takes (bins,)
+        state = init_state(key, cfg)
+        if mesh is not None:
+            from ..parallel.sharded import evolve_sharded
+
+            final, traj = evolve_sharded(
+                state, tframes, num_generations, so, cfg, mesh, record_trajectory
+            )
+        else:
+            final, traj = evolve(state, tframes, num_generations, so, cfg,
+                                 record_trajectory)
+        best_scaled = synthesis.scale_params(final.best_values, mins, maxs)
+        best_audio = synthesis.synthesize(
+            best_scaled[None, :],
+            cfg.n_samples * cfg.num_frames,
+            cfg.topology,
+            wavetable_size=cfg.wavetable_size,
+            sample_rate=cfg.sample_rate,
+            osc_mode=cfg.osc_mode,
+            unroll=cfg.scan_unroll,
+            engine=cfg.synthesis_engine,
+        )[:, 0]
+        return final, traj, best_scaled, best_audio
+
+    return run
+
+
+def match_audio_stft(
+    target_audio: np.ndarray,
+    cfg: ESConfig,
+    key: jax.Array | int = 0,
+    num_generations: int = 1000,
+    record_trajectory: bool = False,
+    mesh: Any | None = None,
+) -> MatchResult:
+    """Match one parameter set against ALL frames of the target at once
+    (multi-frame STFT fitness, BASELINE.json config 2) — contrast with
+    ``match_audio``'s reference-style fresh-population-per-chunk loop."""
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    frames = len(target_audio) // cfg.n_samples
+    if frames == 0:
+        raise ValueError("target shorter than one frame")
+    cfg = cfg.replace(num_frames=frames)
+    run = _compiled_stft_matcher(cfg, num_generations, record_trajectory, mesh)
+    frame_audio = jnp.asarray(
+        target_audio[: frames * cfg.n_samples], jnp.float32
+    )
+    final, traj, best_scaled, best_audio = run(key, frame_audio)
+    jax.block_until_ready(best_audio)
+    result = ChunkResult(
+        best_params_scaled=np.asarray(best_scaled),
+        best_params_norm=np.asarray(final.best_values),
+        best_fitness=float(final.best_fitness),
+        generations_run=int(final.generation),
+        trajectory=None if traj is None else np.asarray(traj),
+    )
+    return MatchResult(chunks=[result], output_audio=np.asarray(best_audio), config=cfg)
+
+
+def match_many(
+    targets: np.ndarray,
+    cfg: ESConfig,
+    key: jax.Array | int = 0,
+    num_generations: int = 1000,
+) -> list["MatchResult"]:
+    """Batched multi-target matching (BASELINE.json config 5): B independent
+    ES runs — one per target sound — execute concurrently in a single device
+    program via ``vmap`` over (key, target)."""
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    targets = np.asarray(targets, np.float32)
+    if targets.ndim != 2:
+        raise ValueError("targets must be (batch, samples)")
+    frames = targets.shape[1] // cfg.n_samples
+    if frames == 0:
+        raise ValueError("targets shorter than one frame")
+    cfg = cfg.replace(num_frames=frames)
+    run = _compiled_stft_matcher(cfg, num_generations, False)
+    keys = jax.random.split(key, targets.shape[0])
+    t = jnp.asarray(targets[:, : frames * cfg.n_samples])
+    finals, _, best_scaled, best_audio = jax.vmap(run)(keys, t)
+    jax.block_until_ready(best_audio)
+    results = []
+    for b in range(targets.shape[0]):
+        chunk = ChunkResult(
+            best_params_scaled=np.asarray(best_scaled[b]),
+            best_params_norm=np.asarray(finals.best_values[b]),
+            best_fitness=float(finals.best_fitness[b]),
+            generations_run=int(finals.generation[b]),
+            trajectory=None,
+        )
+        results.append(
+            MatchResult(chunks=[chunk], output_audio=np.asarray(best_audio[b]), config=cfg)
+        )
+    return results
+
+
 class ChunkResult(NamedTuple):
     best_params_scaled: np.ndarray  # (D,)
     best_params_norm: np.ndarray  # (D,) in [0,1]

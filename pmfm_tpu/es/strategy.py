@@ -210,6 +210,7 @@ def _fused_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
 
     return (
         cfg.fused_kernel
+        and cfg.num_frames == 1
         and cfg.topology in ("fm2", "fm3_series")
         and cfg.spectrum_method == "dft"
         and spectrum_ops.dft_cos is not None
@@ -255,7 +256,7 @@ def evaluate(
         )
     audio = synthesis.synthesize(
         scaled,
-        cfg.n_samples,
+        cfg.n_samples * cfg.num_frames,
         cfg.topology,
         wavetable_size=cfg.wavetable_size,
         sample_rate=cfg.sample_rate,
@@ -266,6 +267,9 @@ def evaluate(
         # (halves the HBM traffic of the pipeline's largest array)
         out_dtype=jnp.bfloat16 if cfg.dft_dtype == "bfloat16" else jnp.float32,
     )
+    if cfg.num_frames > 1:
+        # multi-frame STFT fitness: target_spectrum is (frames, bins)
+        return spectral.stft_fitness(audio, target_spectrum, spectrum_ops)
     return spectral.evaluate_fitness(audio, target_spectrum, spectrum_ops)
 
 

@@ -44,7 +44,7 @@ def _kernel(
     sin_ref,  # (N, K) bf16
     target_ref,  # (1, K) f32
     tri_ref,  # (C, C) f32 strictly lower triangular
-    fitness_ref,  # (1, PB) f32 out
+    fitness_ref,  # (G, PB) f32 out — full array; program i writes row i
     audio_scratch,  # (N, PB) bf16 VMEM
     *,
     topology: str,
@@ -124,7 +124,9 @@ def _kernel(
     im = jax.lax.dot_general(audio, sin_ref[:], dn, preferred_element_type=jnp.float32)
     mag = jnp.sqrt(re * re + im * im)  # (PB, K)
     d = mag - target_ref[:]
-    fitness_ref[:] = jnp.sum(d * d, axis=1)[None, :]
+    # Mosaic needs >=(8,128) blocks, so the output block is the full (G, PB)
+    # array and each program writes only its own row.
+    fitness_ref[pl.ds(pl.program_id(0), 1), :] = jnp.sum(d * d, axis=1)[None, :]
 
 
 @functools.partial(
@@ -184,7 +186,9 @@ def fused_synth_fitness(
                 (TIME_BLOCK, TIME_BLOCK), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec((1, pb), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (pop // pb, pb), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
         scratch_shapes=[pltpu.VMEM((n, pb), jnp.bfloat16)],
         interpret=interpret,
     )(params_t, cosb, sinb, tgt, tri)

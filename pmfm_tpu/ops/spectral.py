@@ -161,3 +161,44 @@ def spectral_fitness(spectra: jax.Array, target: jax.Array) -> jax.Array:
 def evaluate_fitness(audio_tm: jax.Array, target: jax.Array, ops: SpectrumOps) -> jax.Array:
     """window -> spectrum -> L2 error, fused. ``(N,pop),(bins,) -> (pop,)``."""
     return spectral_fitness(magnitude_spectrum(audio_tm, ops), target)
+
+
+# --------------------------------------------------------------------------
+# Multi-frame STFT fitness (SURVEY.md §5.7 / BASELINE.json config 2):
+# a candidate synthesises frames*N continuous samples and is scored against
+# the target's framewise magnitude spectra — blockwise STFT matching with a
+# single parameter set instead of the reference's fresh-population-per-chunk
+# loop (Evolutionary_Strategy_OpenCL.hpp:586-598).
+# --------------------------------------------------------------------------
+
+def magnitude_spectrum_frames(audio_tm: jax.Array, ops: SpectrumOps) -> jax.Array:
+    """Framewise spectra of ``(frames*N, pop)`` audio -> ``(frames, pop, bins)``."""
+    total, pop = audio_tm.shape
+    frames = total // ops.n
+    a = audio_tm.reshape(frames, ops.n, pop)
+    if ops.method == "rfft":
+        windowed = a * ops.window[None, :, None]
+        spec = jnp.fft.rfft(windowed, axis=1)[:, : ops.num_bins]  # (F, bins, pop)
+        return jnp.swapaxes(
+            jnp.abs(spec).astype(jnp.float32) * jnp.float32(ops.norm), 1, 2
+        )
+    x = a.astype(ops.dft_dtype)
+    re = jnp.einsum("fnp,nk->fpk", x, ops.dft_cos,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    im = jnp.einsum("fnp,nk->fpk", x, ops.dft_sin,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    return jnp.sqrt(re * re + im * im)
+
+
+def target_spectrum_frames(target_audio: jax.Array, ops: SpectrumOps) -> jax.Array:
+    """``(frames*N,)`` target -> ``(frames, bins)`` framewise spectra."""
+    return magnitude_spectrum_frames(target_audio[:, None], ops)[:, 0, :]
+
+
+def stft_fitness(audio_tm: jax.Array, target_frames: jax.Array, ops: SpectrumOps) -> jax.Array:
+    """Summed framewise L2 spectral error: ``(F*N, pop), (F, bins) -> (pop,)``."""
+    spectra = magnitude_spectrum_frames(audio_tm, ops)  # (F, pop, bins)
+    d = spectra - target_frames[:, None, :]
+    return jnp.sum(d * d, axis=(0, 2))
