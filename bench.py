@@ -48,6 +48,7 @@ def main():
         spectrum_method="dft",
         dft_dtype="bfloat16",
         mutation_noise="clt12",
+        fused_kernel=True,
     )
     so = make_spectrum_ops(cfg)
     tspec = jnp.ones((so.num_bins,), jnp.float32)

@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--audio-log2", type=int, default=None, help="override audioLengthLog2")
     p.add_argument("--checkpoint-dir", default=None, help="chunk-level checkpoint/resume dir")
     p.add_argument("--trajectory", action="store_true", help="record per-generation best fitness")
+    p.add_argument("--mode", choices=("chunks", "stft"), default="chunks",
+                   help="chunks: fresh population per chunk (reference semantics); "
+                        "stft: one ES scored over all frames")
+    p.add_argument("--mesh", type=int, default=None,
+                   help="shard the population over N devices (overrides tpu.meshShape)")
+    p.add_argument("--profile-dir", default=None, help="capture a jax.profiler trace here")
     p.add_argument("--input-generated-path", default="inputGenerated.wav",
                    help="where params-mode targets are written (main.cpp:226)")
     p.add_argument("--quiet", action="store_true")
@@ -56,10 +62,11 @@ def main(argv: list[str] | None = None) -> int:
     # Defer heavy imports so `pmfm --help` is instant.
     import jax
 
-    from .es import match_audio
+    from .es import match_audio, match_audio_stft
     from .io import load_config, read_wav, write_wav
     from .ops import scale_params, synthesize_single
     from .utils import Benchmarker
+    from .utils.profiling import maybe_trace
 
     try:
         run_cfg = load_config(args.json)
@@ -128,17 +135,34 @@ def main(argv: list[str] | None = None) -> int:
         )
         bm = Benchmarker(csv_path=csv_path, quiet=args.quiet)
 
+    # --- mesh (population sharding across devices) ------------------------
+    mesh = None
+    mesh_shape = (args.mesh,) if args.mesh else run_cfg.mesh_shape
+    if mesh_shape:
+        from .parallel import initialize_multihost, make_mesh
+
+        initialize_multihost()
+        mesh = make_mesh(shape=mesh_shape, axis_names=run_cfg.mesh_axis_names)
+
     # --- match (main.cpp:229-239) ----------------------------------------
     start = time.perf_counter()
-    result = match_audio(
-        target,
-        cfg,
-        key=args.seed,
-        num_generations=num_generations,
-        record_trajectory=args.trajectory,
-        benchmarker=bm,
-        checkpoint_dir=args.checkpoint_dir,
-    )
+    with maybe_trace(args.profile_dir):
+        if args.mode == "stft":
+            result = match_audio_stft(
+                target, cfg, key=args.seed, num_generations=num_generations,
+                record_trajectory=args.trajectory, mesh=mesh,
+            )
+        else:
+            result = match_audio(
+                target,
+                cfg,
+                key=args.seed,
+                num_generations=num_generations,
+                record_trajectory=args.trajectory,
+                benchmarker=bm,
+                checkpoint_dir=args.checkpoint_dir,
+                mesh=mesh,
+            )
     elapsed = time.perf_counter() - start
     if not args.quiet:
         print(f"Total time to complete: {elapsed:.3f}s")

@@ -74,7 +74,8 @@ def _kernel(
             tri, xb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    t_block = jax.lax.broadcasted_iota(jnp.float32, (c, pb), 0)  # 0..C-1
+    # Mosaic iota must be integer-typed; cast after
+    t_block = jax.lax.broadcasted_iota(jnp.int32, (c, pb), 0).astype(jnp.float32)
 
     if topology == "fm2":
         m1 = row(0) * row(1)

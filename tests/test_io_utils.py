@@ -234,6 +234,16 @@ class TestCLI:
         assert rc == 0
         assert (tmp_path / "out.wav").exists()
 
+    def test_stft_mode_and_mesh(self, tmp_path, capsys):
+        from pmfm_tpu.cli import main
+
+        cfgp = self._write_cfg(tmp_path)
+        rc = main(["-j", str(cfgp), "--mode", "stft", "--mesh", "8", "--quiet",
+                   "--offspring", "56",  # 64/8 devices >= 8 parents per shard
+                   "--input-generated-path", str(tmp_path / "ig.wav")])
+        assert rc == 0
+        assert (tmp_path / "out.wav").exists()
+
     def test_missing_config(self, capsys):
         from pmfm_tpu.cli import main
 

@@ -1,0 +1,44 @@
+"""Fused kernel vs unfused: per-generation timing on the real chip."""
+import sys, time
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+import jax, jax.numpy as jnp
+from pmfm_tpu.es import ESConfig, init_state, make_spectrum_ops
+from pmfm_tpu.es.pipeline import generation_step
+from pmfm_tpu.es.strategy import evaluate
+
+P, N, MU = 1 << 15, 1024, 256
+key = jax.random.PRNGKey(0)
+
+def timed_loop(stage_fn, x, iters=30):
+    @jax.jit
+    def run(x0):
+        def body(i, carry):
+            xp, acc = carry
+            out = stage_fn(xp + acc * 1e-30)
+            return xp, acc + jnp.sum(out).astype(jnp.float32) * 1e-30
+        _, acc = jax.lax.fori_loop(0, iters, body, (x0, jnp.float32(0.0)))
+        return acc
+    jax.block_until_ready(run(x))
+    t0 = time.time(); jax.block_until_ready(run(x))
+    return (time.time() - t0) / iters * 1e3
+
+base = dict(num_parents=MU, num_offspring=P - MU, num_dimensions=6,
+            topology="fm3_series", audio_length_log2=10,
+            synthesis_engine="scanless", dft_dtype="bfloat16")
+cfgF = ESConfig(**base, fused_kernel=True)
+so = make_spectrum_ops(cfgF)
+tspec = jnp.ones((so.num_bins,), jnp.float32)
+values = jax.random.uniform(key, (P, 6))
+print("evaluate FUSED     %7.3f ms" % timed_loop(lambda v: evaluate(v, tspec, so, cfgF), values), flush=True)
+state = init_state(key, cfgF)
+
+@jax.jit
+def gens(s):
+    def body(s, _):
+        return generation_step(s, tspec, so, cfgF), None
+    s, _ = jax.lax.scan(body, s, None, length=30)
+    return s.best_fitness
+
+jax.block_until_ready(gens(state))
+t0 = time.time(); out = jax.block_until_ready(gens(state))
+print("full gen fused     %7.3f ms  best=%.3e" % ((time.time() - t0) / 30 * 1e3, float(out)), flush=True)
