@@ -40,8 +40,7 @@ def _tri_strict(c: int) -> np.ndarray:
 
 def _kernel(
     params_ref,  # (D, PB) f32  — transposed: lanes = candidates
-    cos_ref,  # (N, K) bf16
-    sin_ref,  # (N, K) bf16
+    dft_ref,  # (N, 2K) bf16 — [cos | sin] concatenated (one MXU pass)
     target_ref,  # (1, K) f32
     tri_ref,  # (C, C) f32 strictly lower triangular
     fitness_ref,  # (G, PB) f32 out — full array; program i writes row i
@@ -50,6 +49,7 @@ def _kernel(
     topology: str,
     n: int,
     pb: int,
+    k: int,
     c: int,
     wts: float,
     w2sr: float,
@@ -98,21 +98,25 @@ def _kernel(
     off2 = jnp.zeros((1, pb), jnp.float32)
     off3 = jnp.zeros((1, pb), jnp.float32)
 
+    # Per-sample phase increments |w2sr*cur| < ~0.75*(fmax*imax+imax) stay far
+    # below wts, and intra-block sums stay < C*wts in f32 exactly, so the
+    # elementwise pre-mod of the scanless reference implementation is
+    # unnecessary here — one mod after adding the block offset suffices.
     for b in range(nb):
         pos1 = jnp.mod(t_block * inc1 + off1, wtsf)  # (C, PB)
         if topology == "fm2":
             cur1 = osc(pos1) * m1 + cf
-            x1 = jnp.mod(w2srf * cur1, wtsf)
+            x1 = w2srf * cur1
             pos2 = jnp.mod(ex_prefix(x1) + off2, wtsf)
             out = osc(pos2) * amp
             off2 = jnp.mod(off2 + jnp.sum(x1, axis=0, keepdims=True), wtsf)
         else:  # fm3_series
             cur1 = osc(pos1) * m1 + c1
-            x1 = jnp.mod(w2srf * cur1, wtsf)
+            x1 = w2srf * cur1
             pos2 = jnp.mod(ex_prefix(x1) + off2, wtsf)
             off2 = jnp.mod(off2 + jnp.sum(x1, axis=0, keepdims=True), wtsf)
             cur2 = osc(pos2) * m2 + c2
-            x2 = jnp.mod(w2srf * cur2, wtsf)
+            x2 = w2srf * cur2
             pos3 = jnp.mod(ex_prefix(x2) + off3, wtsf)
             off3 = jnp.mod(off3 + jnp.sum(x2, axis=0, keepdims=True), wtsf)
             out = osc(pos3) * m3
@@ -121,8 +125,11 @@ def _kernel(
 
     audio = audio_scratch[:]
     dn = (((0,), (0,)), ((), ()))
-    re = jax.lax.dot_general(audio, cos_ref[:], dn, preferred_element_type=jnp.float32)
-    im = jax.lax.dot_general(audio, sin_ref[:], dn, preferred_element_type=jnp.float32)
+    reim = jax.lax.dot_general(
+        audio, dft_ref[:], dn, preferred_element_type=jnp.float32
+    )  # (PB, 2K)
+    re = reim[:, :k]
+    im = reim[:, k:]
     mag = jnp.sqrt(re * re + im * im)  # (PB, K)
     d = mag - target_ref[:]
     # Mosaic needs >=(8,128) blocks, so the output block is the full (G, PB)
@@ -159,8 +166,7 @@ def fused_synth_fitness(
     if n % TIME_BLOCK:
         raise ValueError(f"n={n} must be a multiple of {TIME_BLOCK}")
     params_t = params_scaled.T.astype(jnp.float32)  # (D, P)
-    cosb = dft_cos.astype(jnp.bfloat16)
-    sinb = dft_sin.astype(jnp.bfloat16)
+    dft = jnp.concatenate([dft_cos, dft_sin], axis=1).astype(jnp.bfloat16)  # (N, 2K)
     tgt = target_spectrum.astype(jnp.float32)[None, :]  # (1, K)
     tri = jnp.asarray(_tri_strict(TIME_BLOCK))
 
@@ -169,19 +175,30 @@ def fused_synth_fitness(
         topology=topology,
         n=n,
         pb=pb,
+        k=k,
         c=TIME_BLOCK,
         wts=float(wavetable_size),
         w2sr=wavetable_size / float(sample_rate),
     )
     grid = (pop // pb,)
+    chains = 2 if topology == "fm3_series" else 1
+    cost = pl.CostEstimate(
+        flops=pop * (2 * n * 2 * k + chains * 2 * TIME_BLOCK * n),
+        bytes_accessed=pop * d * 4 + n * 2 * k * 2 + pop * 4,
+        transcendentals=pop * n * (chains + 1),
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((pop // pb, pb), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((d, pb), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 2 * k), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (TIME_BLOCK, TIME_BLOCK), lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -191,6 +208,8 @@ def fused_synth_fitness(
             (pop // pb, pb), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[pltpu.VMEM((n, pb), jnp.bfloat16)],
+        cost_estimate=cost,
         interpret=interpret,
-    )(params_t, cosb, sinb, tgt, tri)
+        **kwargs,
+    )(params_t, dft, tgt, tri)
     return out.reshape(pop)

@@ -1,4 +1,4 @@
-"""Fused kernel vs unfused: per-generation timing on the real chip."""
+"""Fused kernel per-generation timing on the real chip (PB sweep)."""
 import sys, time
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import jax, jax.numpy as jnp
@@ -22,23 +22,35 @@ def timed_loop(stage_fn, x, iters=30):
     t0 = time.time(); jax.block_until_ready(run(x))
     return (time.time() - t0) / iters * 1e3
 
-base = dict(num_parents=MU, num_offspring=P - MU, num_dimensions=6,
-            topology="fm3_series", audio_length_log2=10,
-            synthesis_engine="scanless", dft_dtype="bfloat16")
-cfgF = ESConfig(**base, fused_kernel=True)
-so = make_spectrum_ops(cfgF)
-tspec = jnp.ones((so.num_bins,), jnp.float32)
 values = jax.random.uniform(key, (P, 6))
-print("evaluate FUSED     %7.3f ms" % timed_loop(lambda v: evaluate(v, tspec, so, cfgF), values), flush=True)
-state = init_state(key, cfgF)
+for pb in (256, 512, 1024):
+    cfg = ESConfig(num_parents=MU, num_offspring=P - MU, num_dimensions=6,
+                   topology="fm3_series", audio_length_log2=10,
+                   synthesis_engine="scanless", dft_dtype="bfloat16",
+                   fused_kernel=True, pop_block=pb)
+    so = make_spectrum_ops(cfg)
+    tspec = jnp.ones((so.num_bins,), jnp.float32)
+    try:
+        ms = timed_loop(lambda v: evaluate(v, tspec, so, cfg), values)
+        print("PB=%4d evaluate %7.3f ms" % (pb, ms), flush=True)
+    except Exception as e:
+        print("PB=%4d FAILED %s" % (pb, str(e)[:200]), flush=True)
+
+cfg = ESConfig(num_parents=MU, num_offspring=P - MU, num_dimensions=6,
+               topology="fm3_series", audio_length_log2=10,
+               synthesis_engine="scanless", dft_dtype="bfloat16",
+               fused_kernel=True, pop_block=1024)
+so = make_spectrum_ops(cfg)
+tspec = jnp.ones((so.num_bins,), jnp.float32)
+state = init_state(key, cfg)
 
 @jax.jit
 def gens(s):
     def body(s, _):
-        return generation_step(s, tspec, so, cfgF), None
+        return generation_step(s, tspec, so, cfg), None
     s, _ = jax.lax.scan(body, s, None, length=30)
     return s.best_fitness
 
 jax.block_until_ready(gens(state))
 t0 = time.time(); out = jax.block_until_ready(gens(state))
-print("full gen fused     %7.3f ms  best=%.3e" % ((time.time() - t0) / 30 * 1e3, float(out)), flush=True)
+print("full gen (PB=1024) %7.3f ms  best=%.3e" % ((time.time() - t0) / 30 * 1e3, float(out)), flush=True)
