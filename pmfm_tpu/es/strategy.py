@@ -211,7 +211,6 @@ def _fused_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
     return (
         cfg.fused_kernel
         and cfg.num_frames == 1
-        and cfg.topology in ("fm2", "fm3_series")
         and cfg.spectrum_method == "dft"
         and spectrum_ops.dft_cos is not None
         and cfg.n_samples % TIME_BLOCK == 0

@@ -38,13 +38,35 @@ def _tri_strict(c: int) -> np.ndarray:
     return np.tril(np.ones((c, c), np.float32), k=-1)
 
 
+# Odd minimax-ish polynomial for sin(2*pi*w), w in [-0.5, 0.5] (turns),
+# fitted on Chebyshev nodes. Max abs error ~2e-6 — far below the bf16
+# quantisation of the kernel's audio (2^-8), so the approximation is free
+# accuracy-wise and ~3x cheaper than a libm-grade sine on the VPU.
+def _sin_turn_coeffs() -> np.ndarray:
+    w = 0.5 * np.cos(np.pi * (np.arange(2000) + 0.5) / 2000)  # (0, 0.5]
+    target = np.sin(2 * np.pi * w)
+    A = np.stack([w, w**3, w**5, w**7, w**9], axis=1)
+    coef, *_ = np.linalg.lstsq(A, target, rcond=None)
+    return coef.astype(np.float32)
+
+
+_SIN_COEF = _sin_turn_coeffs()
+
+
+def _sin_turns(w):
+    """sin(2*pi*w) for w in [-0.5, 0.5]."""
+    c1, c3, c5, c7, c9 = (jnp.float32(v) for v in _SIN_COEF)
+    w2 = w * w
+    return w * (c1 + w2 * (c3 + w2 * (c5 + w2 * (c7 + w2 * c9))))
+
+
 def _kernel(
     params_ref,  # (D, PB) f32  — transposed: lanes = candidates
-    dft_ref,  # (N, 2K) bf16 — [cos | sin] concatenated (one MXU pass)
-    target_ref,  # (1, K) f32
+    dft_ref,  # (2K, N) bf16 — [cos; sin] stacked, TRANSPOSED (standard GEMM)
+    target_ref,  # (K, 1) f32
     tri_ref,  # (C, C) f32 strictly lower triangular
     fitness_ref,  # (G, PB) f32 out — full array; program i writes row i
-    audio_scratch,  # (N, PB) bf16 VMEM
+    acc_scratch,  # (2K, PB) f32 VMEM — DFT accumulator across time blocks
     *,
     topology: str,
     n: int,
@@ -54,16 +76,21 @@ def _kernel(
     wts: float,
     w2sr: float,
 ):
-    omega = jnp.float32(2.0 * math.pi / wts)
-    wtsf = jnp.float32(wts)
-    w2srf = jnp.float32(w2sr)
+    # Everything runs in TURNS (phase / wavetable_size): the wrap "mod wts"
+    # becomes frac(x) = x - floor(x) (no division), prefix-sum magnitudes
+    # stay < C*fmax/sr ~ 82 (f32-exact), and the oscillator is a 9th-order
+    # odd polynomial on [-0.5, 0.5] turns (see _sin_turns).
+    inv_sr = jnp.float32(w2sr / wts)  # = 1 / sample_rate
     nb = n // c
     tri = tri_ref[:]
 
     p = params_ref[:]  # (D, PB)
 
-    def osc(pos):
-        return jnp.sin(omega * pos)
+    def frac(x):
+        return x - jnp.floor(x)
+
+    def osc(pos):  # pos in [0, 1) turns
+        return _sin_turns(pos - jnp.floor(pos + 0.5))
 
     def row(i):  # (1, PB)
         return p[i : i + 1, :]
@@ -77,69 +104,94 @@ def _kernel(
     # Mosaic iota must be integer-typed; cast after
     t_block = jax.lax.broadcasted_iota(jnp.int32, (c, pb), 0).astype(jnp.float32)
 
+    zeros = lambda: jnp.zeros((1, pb), jnp.float32)  # noqa: E731
     if topology == "fm2":
-        m1 = row(0) * row(1)
-        cf, amp = row(2), row(3)
-        inc1 = jnp.mod(w2srf * row(0), wtsf)
-        chains = 1
+        pairs = [(row(0) * row(1), row(2), row(3), frac(inv_sr * row(0)))]
+    elif topology == "fm3_parallel":
+        # three independent 2-op pairs, averaged (kernels/ocl_program.cl:388-443)
+        pairs = [
+            (
+                row(4 * j) * row(4 * j + 1),
+                row(4 * j + 2),
+                row(4 * j + 3),
+                frac(inv_sr * row(4 * j)),
+            )
+            for j in range(3)
+        ]
     elif topology == "fm3_series":
         m1 = row(0) * row(1)
         m2 = row(2) * row(3)
         m3 = row(4) * row(5)
         c1, c2 = row(3), row(5)
-        inc1 = jnp.mod(w2srf * row(1), wtsf)
-        chains = 2
+        inc1 = frac(inv_sr * row(1))
+        inc_blk = frac(jnp.float32(c) * inc1)
+        off1, off2, off3 = zeros(), zeros(), zeros()
+        pairs = None
     else:
         raise NotImplementedError(topology)
 
-    inc_blk = jnp.mod(jnp.float32(c) * inc1, wtsf)
-
-    off1 = jnp.zeros((1, pb), jnp.float32)
-    off2 = jnp.zeros((1, pb), jnp.float32)
-    off3 = jnp.zeros((1, pb), jnp.float32)
+    if pairs is not None:
+        incs_blk = [frac(jnp.float32(c) * inc) for (_, _, _, inc) in pairs]
+        offs1 = [zeros() for _ in pairs]
+        offs2 = [zeros() for _ in pairs]
 
     # Per-sample phase increments |w2sr*cur| < ~0.75*(fmax*imax+imax) stay far
     # below wts, and intra-block sums stay < C*wts in f32 exactly, so the
     # elementwise pre-mod of the scanless reference implementation is
     # unnecessary here — one mod after adding the block offset suffices.
+    # The audio block of each time step is contracted into the DFT
+    # accumulator immediately as a standard-form (2K,C)@(C,PB) MXU matmul —
+    # candidate audio never exists anywhere but registers.
+    dn_std = (((1,), (0,)), ((), ()))
     for b in range(nb):
-        pos1 = jnp.mod(t_block * inc1 + off1, wtsf)  # (C, PB)
-        if topology == "fm2":
-            cur1 = osc(pos1) * m1 + cf
-            x1 = w2srf * cur1
-            pos2 = jnp.mod(ex_prefix(x1) + off2, wtsf)
-            out = osc(pos2) * amp
-            off2 = jnp.mod(off2 + jnp.sum(x1, axis=0, keepdims=True), wtsf)
-        else:  # fm3_series
+        if topology == "fm3_series":
+            pos1 = frac(t_block * inc1 + off1)  # (C, PB) turns
             cur1 = osc(pos1) * m1 + c1
-            x1 = w2srf * cur1
-            pos2 = jnp.mod(ex_prefix(x1) + off2, wtsf)
-            off2 = jnp.mod(off2 + jnp.sum(x1, axis=0, keepdims=True), wtsf)
+            x1 = inv_sr * cur1
+            pos2 = frac(ex_prefix(x1) + off2)
+            off2 = frac(off2 + jnp.sum(x1, axis=0, keepdims=True))
             cur2 = osc(pos2) * m2 + c2
-            x2 = w2srf * cur2
-            pos3 = jnp.mod(ex_prefix(x2) + off3, wtsf)
-            off3 = jnp.mod(off3 + jnp.sum(x2, axis=0, keepdims=True), wtsf)
+            x2 = inv_sr * cur2
+            pos3 = frac(ex_prefix(x2) + off3)
+            off3 = frac(off3 + jnp.sum(x2, axis=0, keepdims=True))
             out = osc(pos3) * m3
-        audio_scratch[b * c : (b + 1) * c, :] = out.astype(jnp.bfloat16)
-        off1 = jnp.mod(off1 + inc_blk, wtsf)
+            off1 = frac(off1 + inc_blk)
+        else:  # one or three independent 2-op pairs
+            out = None
+            for j, (m, cf, amp, inc) in enumerate(pairs):
+                pos1 = frac(t_block * inc + offs1[j])
+                cur = osc(pos1) * m + cf
+                x = inv_sr * cur
+                pos2 = frac(ex_prefix(x) + offs2[j])
+                o = osc(pos2) * amp
+                out = o if out is None else out + o
+                offs2[j] = frac(offs2[j] + jnp.sum(x, axis=0, keepdims=True))
+                offs1[j] = frac(offs1[j] + incs_blk[j])
+            if len(pairs) > 1:
+                out = out / jnp.float32(len(pairs))
+        contrib = jax.lax.dot_general(
+            dft_ref[:, b * c : (b + 1) * c],
+            out.astype(jnp.bfloat16),
+            dn_std,
+            preferred_element_type=jnp.float32,
+        )  # (2K, PB)
+        if b == 0:
+            acc_scratch[:] = contrib
+        else:
+            acc_scratch[:] += contrib
 
-    audio = audio_scratch[:]
-    dn = (((0,), (0,)), ((), ()))
-    reim = jax.lax.dot_general(
-        audio, dft_ref[:], dn, preferred_element_type=jnp.float32
-    )  # (PB, 2K)
-    re = reim[:, :k]
-    im = reim[:, k:]
-    mag = jnp.sqrt(re * re + im * im)  # (PB, K)
-    d = mag - target_ref[:]
+    re = acc_scratch[:k, :]
+    im = acc_scratch[k:, :]
+    mag = jnp.sqrt(re * re + im * im)  # (K, PB)
+    d = mag - target_ref[:]  # target (K,1) broadcasts over lanes
     # Mosaic needs >=(8,128) blocks, so the output block is the full (G, PB)
     # array and each program writes only its own row.
-    fitness_ref[pl.ds(pl.program_id(0), 1), :] = jnp.sum(d * d, axis=1)[None, :]
+    fitness_ref[pl.ds(pl.program_id(0), 1), :] = jnp.sum(d * d, axis=0)[None, :]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("topology", "n", "wavetable_size", "sample_rate", "pop_block", "interpret"),
+    static_argnames=("topology", "n", "wavetable_size", "sample_rate", "pop_block", "interpret", "time_block"),
 )
 def fused_synth_fitness(
     params_scaled: jax.Array,  # (P, D) f32
@@ -152,23 +204,25 @@ def fused_synth_fitness(
     sample_rate: int = DEFAULT_SAMPLE_RATE,
     pop_block: int = DEFAULT_POP_BLOCK,
     interpret: bool = False,
+    time_block: int = TIME_BLOCK,
 ) -> jax.Array:
     """Fitness for the whole population; returns ``(P,)`` f32.
 
     Requirements: P % pop_block == 0, n % 128 == 0, K % 128 == 0.
-    fm3_parallel falls back to three fused fm2-like passes upstream.
     """
     pop, d = params_scaled.shape
     k = dft_cos.shape[1]
     pb = min(pop_block, pop)
     if pop % pb:
         raise ValueError(f"population {pop} not divisible by pop_block {pb}")
-    if n % TIME_BLOCK:
-        raise ValueError(f"n={n} must be a multiple of {TIME_BLOCK}")
+    if n % time_block:
+        raise ValueError(f"n={n} must be a multiple of {time_block}")
     params_t = params_scaled.T.astype(jnp.float32)  # (D, P)
-    dft = jnp.concatenate([dft_cos, dft_sin], axis=1).astype(jnp.bfloat16)  # (N, 2K)
-    tgt = target_spectrum.astype(jnp.float32)[None, :]  # (1, K)
-    tri = jnp.asarray(_tri_strict(TIME_BLOCK))
+    dft = (
+        jnp.concatenate([dft_cos, dft_sin], axis=1).T.astype(jnp.bfloat16)
+    )  # (2K, N)
+    tgt = target_spectrum.astype(jnp.float32)[:, None]  # (K, 1)
+    tri = jnp.asarray(_tri_strict(time_block))
 
     kernel = functools.partial(
         _kernel,
@@ -176,14 +230,14 @@ def fused_synth_fitness(
         n=n,
         pb=pb,
         k=k,
-        c=TIME_BLOCK,
+        c=time_block,
         wts=float(wavetable_size),
         w2sr=wavetable_size / float(sample_rate),
     )
     grid = (pop // pb,)
-    chains = 2 if topology == "fm3_series" else 1
+    chains = {"fm2": 1, "fm3_series": 2, "fm3_parallel": 3}[topology]
     cost = pl.CostEstimate(
-        flops=pop * (2 * n * 2 * k + chains * 2 * TIME_BLOCK * n),
+        flops=pop * (2 * n * 2 * k + chains * 2 * time_block * n),
         bytes_accessed=pop * d * 4 + n * 2 * k * 2 + pop * 4,
         transcendentals=pop * n * (chains + 1),
     )
@@ -198,16 +252,16 @@ def fused_synth_fitness(
         grid=grid,
         in_specs=[
             pl.BlockSpec((d, pb), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 2 * k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (TIME_BLOCK, TIME_BLOCK), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (time_block, time_block), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
             (pop // pb, pb), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((n, pb), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((2 * k, pb), jnp.float32)],
         cost_estimate=cost,
         interpret=interpret,
         **kwargs,

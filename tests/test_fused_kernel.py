@@ -21,7 +21,7 @@ def rel_err(a, b):
     return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
 
 
-@pytest.mark.parametrize("topology,d", [("fm2", 4), ("fm3_series", 6)])
+@pytest.mark.parametrize("topology,d", [("fm2", 4), ("fm3_series", 6), ("fm3_parallel", 12)])
 class TestFusedKernel:
     def _setup(self, topology, d, n=256, pop=8):
         rng = np.random.default_rng(0)
@@ -54,7 +54,7 @@ class TestFusedKernel:
         assert list(np.argsort(f)) == list(np.argsort(u))
 
     def test_via_evaluate_config_flag(self, topology, d):
-        maxs = ([3520.0, 8.0, 3520.0, 8.0, 3520.0, 8.0])[:d] if topology == "fm3_series" else [3520.0, 8.0, 3520.0, 1.0]
+        maxs = ([3520.0, 8.0, 3520.0, 8.0, 3520.0, 8.0]) if topology == "fm3_series" else ([3520.0, 8.0, 3520.0, 1.0] * 3)[:d]
         cfg = ESConfig(
             num_parents=4, num_offspring=4, num_dimensions=d, topology=topology,
             param_mins=(0.0,) * d, param_maxs=tuple(maxs), audio_length_log2=8,
@@ -71,7 +71,7 @@ class TestFusedKernel:
     def test_pipeline_with_fused_kernel(self, topology, d):
         from pmfm_tpu.es import match_audio
 
-        maxs = ([3520.0, 8.0, 3520.0, 8.0, 3520.0, 8.0])[:d] if topology == "fm3_series" else [3520.0, 8.0, 3520.0, 1.0]
+        maxs = ([3520.0, 8.0, 3520.0, 8.0, 3520.0, 8.0]) if topology == "fm3_series" else ([3520.0, 8.0, 3520.0, 1.0] * 3)[:d]
         cfg = ESConfig(
             num_parents=8, num_offspring=24, num_dimensions=d, topology=topology,
             param_mins=(0.0,) * d, param_maxs=tuple(maxs), audio_length_log2=8,
