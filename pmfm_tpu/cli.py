@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input-generated-path", default="inputGenerated.wav",
                    help="where params-mode targets are written (main.cpp:226)")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--list-devices", action="store_true",
+                   help="print available accelerator devices and exit "
+                        "(printAvailableDevices analog)")
     return p
 
 
@@ -61,6 +64,13 @@ def main(argv: list[str] | None = None) -> int:
 
     # Defer heavy imports so `pmfm --help` is instant.
     import jax
+
+    if args.list_devices:
+        # printAvailableDevices analog (Evolutionary_Strategy_OpenCL.hpp:634-680)
+        for d in jax.devices():
+            print(f"{d.id}: {d.device_kind} (platform={d.platform}, "
+                  f"process={d.process_index})")
+        return 0
 
     from .es import match_audio, match_audio_stft
     from .io import load_config, read_wav, write_wav

@@ -41,7 +41,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-SPECTRUM_METHODS = ("rfft", "dft")
+SPECTRUM_METHODS = ("rfft", "dft", "auto")
+
+# DFT-as-matmul beats the FFT lowering up to a few K points on the MXU
+# (measured: 1024-pt batch-2^15 dft 3.3ms f32 / 1.0ms bf16 vs rfft 6.4ms);
+# the O(N^2) term wins out for long transforms.
+AUTO_DFT_MAX_N = 4096
 
 
 def hann_window(n: int) -> np.ndarray:
@@ -82,6 +87,8 @@ def make_spectrum_ops(
 ) -> SpectrumOps:
     if method not in SPECTRUM_METHODS:
         raise ValueError(f"method must be one of {SPECTRUM_METHODS}")
+    if method == "auto":
+        method = "dft" if n <= AUTO_DFT_MAX_N else "rfft"
     if num_bins is None:
         num_bins = default_num_bins(n)
     w = hann_window(n)
