@@ -20,6 +20,7 @@ overrides, ``--checkpoint-dir`` resume, ``--seed``, ``--trajectory``.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -47,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", choices=("chunks", "stft"), default="chunks",
                    help="chunks: fresh population per chunk (reference semantics); "
                         "stft: one ES scored over all frames")
+    p.add_argument("--batch", nargs="+", default=None, metavar="WAV",
+                   help="match several target WAVs concurrently (vmapped ES "
+                        "runs); overrides the config's input")
     p.add_argument("--mesh", type=int, default=None,
                    help="shard the population over N devices (overrides tpu.meshShape)")
     p.add_argument("--profile-dir", default=None, help="capture a jax.profiler trace here")
@@ -96,6 +100,35 @@ def main(argv: list[str] | None = None) -> int:
     if overrides:
         cfg = cfg.replace(**overrides)
     num_generations = args.generations or run_cfg.num_generations
+
+    # --- batched multi-target mode ---------------------------------------
+    if args.batch:
+        from .es import match_many
+
+        loaded = [read_wav(p) for p in args.batch]
+        n = min(len(a) for a, _ in loaded)
+        n -= n % cfg.n_samples
+        if n == 0:
+            print("error: batch targets shorter than one frame", file=sys.stderr)
+            return 2
+        targets = np.stack([a[:n] for a, _ in loaded])
+        start = time.perf_counter()
+        results = match_many(targets, cfg, key=args.seed,
+                             num_generations=num_generations)
+        elapsed = time.perf_counter() - start
+        for path, r in zip(args.batch, results):
+            c = r.chunks[0]
+            params_str = ", ".join(f"{v:.3f}" for v in c.best_params_scaled)
+            print(f"{path}: fitness = {c.best_fitness:.6g}\n  params = [{params_str}]")
+            if run_cfg.is_audio:
+                out_path = run_cfg.output_audio_path.replace(
+                    ".wav", f"_{os.path.splitext(os.path.basename(path))[0]}.wav"
+                )
+                write_wav(out_path, r.output_audio, loaded[0][1], normalize=True)
+        if not args.quiet:
+            print(f"\nTotal time to complete: {elapsed:.3f}s "
+                  f"({len(results)} targets, concurrent)")
+        return 0
 
     # --- target creation (main.cpp:204-227) ------------------------------
     if run_cfg.input_mode == "params":

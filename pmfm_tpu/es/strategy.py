@@ -210,7 +210,6 @@ def _fused_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
 
     return (
         cfg.fused_kernel
-        and cfg.num_frames == 1
         and cfg.spectrum_method == "dft"
         and spectrum_ops.dft_cos is not None
         and cfg.n_samples % TIME_BLOCK == 0
@@ -252,6 +251,7 @@ def evaluate(
             sample_rate=cfg.sample_rate,
             pop_block=pb,
             interpret=_jax.default_backend() == "cpu",
+            num_frames=cfg.num_frames,
         )
     audio = synthesis.synthesize(
         scaled,

@@ -22,8 +22,11 @@ TPU extension section (all optional)::
 
   "tpu": {
     "topology": "fm3_series",       # fm2 | fm3_series | fm3_parallel
+    "synthesisEngine": "scan",      # scan | scanless
+    "fusedKernel": false,           # Pallas fused synth+DFT+fitness kernel
+    "popBlock": 512,                # candidates per fused-kernel program
     "oscMode": "floor",             # floor | exact | table
-    "spectrumMethod": "dft",        # dft | rfft
+    "spectrumMethod": "dft",        # dft | rfft | auto
     "recombineMode": "gather",      # gather | compat_shuffle | off
     "mutationNoise": "clt12",       # clt12 | normal
     "dftDtype": "float32",          # float32 | bfloat16
@@ -110,6 +113,8 @@ def parse_config(j: dict[str, Any]) -> RunConfig:
         sample_rate=int(audio.get("sampleRate", 44100)),
         wavetable_size=int(audio.get("wavetableSize", 32768)),
         synthesis_engine=tpu.get("synthesisEngine", "scan"),
+        fused_kernel=bool(tpu.get("fusedKernel", False)),
+        pop_block=int(tpu.get("popBlock", 512)),
         osc_mode=tpu.get("oscMode", "floor"),
         spectrum_method=tpu.get("spectrumMethod", "dft"),
         num_bins=tpu.get("numBins"),

@@ -63,7 +63,7 @@ def _sin_turns(w):
 def _kernel(
     params_ref,  # (D, PB) f32  — transposed: lanes = candidates
     dft_ref,  # (2K, N) bf16 — [cos; sin] stacked, TRANSPOSED (standard GEMM)
-    target_ref,  # (K, 1) f32
+    target_ref,  # (K, F) f32 — one column of target spectrum per STFT frame
     tri_ref,  # (C, C) f32 strictly lower triangular
     fitness_ref,  # (G, PB) f32 out — full array; program i writes row i
     acc_scratch,  # (2K, PB) f32 VMEM — DFT accumulator across time blocks
@@ -75,6 +75,7 @@ def _kernel(
     c: int,
     wts: float,
     w2sr: float,
+    num_frames: int = 1,
 ):
     # Everything runs in TURNS (phase / wavetable_size): the wrap "mod wts"
     # becomes frac(x) = x - floor(x) (no division), prefix-sum magnitudes
@@ -143,7 +144,9 @@ def _kernel(
     # accumulator immediately as a standard-form (2K,C)@(C,PB) MXU matmul —
     # candidate audio never exists anywhere but registers.
     dn_std = (((1,), (0,)), ((), ()))
-    for b in range(nb):
+    fit = jnp.zeros((1, pb), jnp.float32)
+    for b in range(nb * num_frames):
+        bf = b % nb  # block index within the current frame (DFT slice index)
         if topology == "fm3_series":
             pos1 = frac(t_block * inc1 + off1)  # (C, PB) turns
             cur1 = osc(pos1) * m1 + c1
@@ -170,34 +173,38 @@ def _kernel(
             if len(pairs) > 1:
                 out = out / jnp.float32(len(pairs))
         contrib = jax.lax.dot_general(
-            dft_ref[:, b * c : (b + 1) * c],
+            dft_ref[:, bf * c : (bf + 1) * c],
             out.astype(jnp.bfloat16),
             dn_std,
             preferred_element_type=jnp.float32,
         )  # (2K, PB)
-        if b == 0:
+        if bf == 0:
             acc_scratch[:] = contrib
         else:
             acc_scratch[:] += contrib
+        if bf == nb - 1:
+            # frame complete: fold its spectral error into the fitness
+            f = b // nb
+            re = acc_scratch[:k, :]
+            im = acc_scratch[k:, :]
+            mag = jnp.sqrt(re * re + im * im)  # (K, PB)
+            d = mag - target_ref[:, f : f + 1]  # frame target, lane-broadcast
+            fit = fit + jnp.sum(d * d, axis=0)[None, :]
 
-    re = acc_scratch[:k, :]
-    im = acc_scratch[k:, :]
-    mag = jnp.sqrt(re * re + im * im)  # (K, PB)
-    d = mag - target_ref[:]  # target (K,1) broadcasts over lanes
     # Mosaic needs >=(8,128) blocks, so the output block is the full (G, PB)
     # array and each program writes only its own row.
-    fitness_ref[pl.ds(pl.program_id(0), 1), :] = jnp.sum(d * d, axis=0)[None, :]
+    fitness_ref[pl.ds(pl.program_id(0), 1), :] = fit
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("topology", "n", "wavetable_size", "sample_rate", "pop_block", "interpret", "time_block"),
+    static_argnames=("topology", "n", "wavetable_size", "sample_rate", "pop_block", "interpret", "time_block", "num_frames"),
 )
 def fused_synth_fitness(
     params_scaled: jax.Array,  # (P, D) f32
     dft_cos: jax.Array,  # (N, K)
     dft_sin: jax.Array,  # (N, K)
-    target_spectrum: jax.Array,  # (K,) f32
+    target_spectrum: jax.Array,  # (K,) f32 — or (F, K) for multi-frame STFT
     topology: str = "fm3_series",
     n: int = 1024,
     wavetable_size: int = DEFAULT_WAVETABLE_SIZE,
@@ -205,8 +212,14 @@ def fused_synth_fitness(
     pop_block: int = DEFAULT_POP_BLOCK,
     interpret: bool = False,
     time_block: int = TIME_BLOCK,
+    num_frames: int = 1,
 ) -> jax.Array:
     """Fitness for the whole population; returns ``(P,)`` f32.
+
+    With ``num_frames > 1`` each candidate synthesises ``num_frames * n``
+    continuous samples and its fitness sums the framewise spectral errors
+    against ``target_spectrum`` of shape ``(num_frames, K)`` (multi-frame
+    STFT fitness, SURVEY.md §5.7).
 
     Requirements: P % pop_block == 0, n % 128 == 0, K % 128 == 0.
     """
@@ -221,7 +234,14 @@ def fused_synth_fitness(
     dft = (
         jnp.concatenate([dft_cos, dft_sin], axis=1).T.astype(jnp.bfloat16)
     )  # (2K, N)
-    tgt = target_spectrum.astype(jnp.float32)[:, None]  # (K, 1)
+    if target_spectrum.ndim == 1:
+        tgt = target_spectrum.astype(jnp.float32)[:, None]  # (K, 1)
+    else:
+        if target_spectrum.shape[0] != num_frames:
+            raise ValueError(
+                f"target has {target_spectrum.shape[0]} frames, expected {num_frames}"
+            )
+        tgt = target_spectrum.astype(jnp.float32).T  # (K, F)
     tri = jnp.asarray(_tri_strict(time_block))
 
     kernel = functools.partial(
@@ -233,13 +253,14 @@ def fused_synth_fitness(
         c=time_block,
         wts=float(wavetable_size),
         w2sr=wavetable_size / float(sample_rate),
+        num_frames=num_frames,
     )
     grid = (pop // pb,)
     chains = {"fm2": 1, "fm3_series": 2, "fm3_parallel": 3}[topology]
     cost = pl.CostEstimate(
-        flops=pop * (2 * n * 2 * k + chains * 2 * time_block * n),
+        flops=pop * num_frames * (2 * n * 2 * k + chains * 2 * time_block * n),
         bytes_accessed=pop * d * 4 + n * 2 * k * 2 + pop * 4,
-        transcendentals=pop * n * (chains + 1),
+        transcendentals=pop * num_frames * n * (chains + 1),
     )
     kwargs = {}
     if not interpret:
@@ -253,7 +274,7 @@ def fused_synth_fitness(
         in_specs=[
             pl.BlockSpec((d, pb), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, num_frames), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (time_block, time_block), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),

@@ -87,3 +87,51 @@ class TestFusedKernel:
         c = res.chunks[0]
         assert np.all(np.diff(c.trajectory) <= 1e-6)
         assert np.isfinite(c.best_fitness)
+
+
+class TestFusedMultiFrame:
+    def test_matches_unfused_stft(self):
+        from pmfm_tpu.ops.spectral import stft_fitness, target_spectrum_frames
+
+        n, frames, pop = 256, 3, 8
+        rng = np.random.default_rng(1)
+        maxs = np.asarray([3520.0, 8.0, 3520.0, 8.0, 3520.0, 8.0], np.float32)
+        scaled = (rng.uniform(0.1, 0.9, (pop, 6)).astype(np.float32)) * maxs
+        so = ops.make_spectrum_ops(n, method="dft")
+        tgt_audio = ops.synthesize(
+            jnp.asarray(scaled[:1]), n * frames, "fm3_series", engine="scanless"
+        )
+        tgt_frames = target_spectrum_frames(tgt_audio[:, 0], so)
+        fused = fused_synth_fitness(
+            jnp.asarray(scaled), so.dft_cos, so.dft_sin, tgt_frames,
+            topology="fm3_series", n=n, pop_block=8, interpret=True,
+            num_frames=frames,
+        )
+        audio = ops.synthesize(jnp.asarray(scaled), n * frames, "fm3_series",
+                               engine="scanless", out_dtype=jnp.bfloat16)
+        so16 = ops.make_spectrum_ops(n, method="dft", dft_dtype=jnp.bfloat16)
+        unfused = stft_fitness(audio, tgt_frames, so16)
+        f, u = np.asarray(fused), np.asarray(unfused)
+        assert rel_err(f, u) < 2e-2
+        assert f[0] < 1e-4 * np.median(f)  # candidate 0 made the target
+        assert list(np.argsort(f)) == list(np.argsort(u))
+
+    def test_via_stft_matcher(self):
+        from pmfm_tpu.es import ESConfig, match_audio_stft
+
+        cfg = ESConfig(
+            num_parents=8, num_offspring=24, num_dimensions=6,
+            topology="fm3_series", audio_length_log2=8,
+            fused_kernel=True, pop_block=32, synthesis_engine="scanless",
+            dft_dtype="bfloat16",
+        )
+        maxs = np.asarray(cfg.param_maxs, np.float32)
+        tgt = np.asarray(
+            ops.synthesize(jnp.asarray((np.full(6, 0.4, np.float32) * maxs))[None],
+                           cfg.n_samples * 2, "fm3_series", engine="scanless")
+        )[:, 0]
+        res = match_audio_stft(tgt, cfg, key=9, num_generations=10,
+                               record_trajectory=True)
+        c = res.chunks[0]
+        assert np.all(np.diff(c.trajectory) <= 1e-6)
+        assert np.isfinite(c.best_fitness)

@@ -244,6 +244,29 @@ class TestCLI:
         assert rc == 0
         assert (tmp_path / "out.wav").exists()
 
+    def test_batch_mode(self, tmp_path, capsys):
+        from pmfm_tpu.cli import main
+
+        rng = np.random.default_rng(0)
+        paths = []
+        for i in range(2):
+            p = tmp_path / f"t{i}.wav"
+            write_wav(p, rng.uniform(-0.5, 0.5, 512).astype(np.float32), 44100)
+            paths.append(str(p))
+        cfgp = self._write_cfg(tmp_path)
+        rc = main(["-j", str(cfgp), "--batch", *paths])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "t0.wav: fitness" in out and "t1.wav: fitness" in out
+        assert (tmp_path / "out_t0.wav").exists()
+        assert (tmp_path / "out_t1.wav").exists()
+
+    def test_list_devices(self, capsys):
+        from pmfm_tpu.cli import main
+
+        assert main(["--list-devices"]) == 0
+        assert "cpu" in capsys.readouterr().out
+
     def test_missing_config(self, capsys):
         from pmfm_tpu.cli import main
 
@@ -282,3 +305,4 @@ class TestNativeRuntime:
         t1 = runtime.monotonic_ms()
         t2 = runtime.monotonic_ms()
         assert t2 >= t1
+
