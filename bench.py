@@ -49,6 +49,7 @@ def main():
         dft_dtype="bfloat16",
         mutation_noise="clt12",
         fused_kernel=True,
+        fused_generation=True,  # whole generation in one Pallas kernel
     )
     so = make_spectrum_ops(cfg)
     tspec = jnp.ones((so.num_bins,), jnp.float32)

@@ -41,6 +41,7 @@ class ESConfig:
 
     # engine knobs (new, TPU-native)
     fused_kernel: bool = False  # Pallas fused synth+DFT+fitness (kernels/)
+    fused_generation: bool = False  # whole generation in one kernel (in-kernel PRNG)
     pop_block: int = 512  # candidates per fused-kernel program
     synthesis_engine: str = "scan"  # "scan" (reference parity) | "scanless" (fast)
     osc_mode: str = "floor"  # "floor" | "exact" | "table" (scan engine only)

@@ -50,10 +50,49 @@ def generation_step(
     (Evolutionary_Strategy_OpenCL.hpp:471-541): recombine -> mutate ->
     evaluate(synth/window/fft/fitness) -> select. No rotation stage: the
     ping-pong double-buffer is subsumed by functional updates."""
-    key, k_rec, k_mut = jax.random.split(state.key, 3)
-    values, steps = recombine(k_rec, state.parent_values, state.parent_steps, cfg)
-    values, steps = mutate(k_mut, values, steps, cfg)
-    fitness = evaluate(values, target_spectrum, spectrum_ops, cfg)
+    from .strategy import _fused_ok
+
+    # The in-kernel PRNG only exists on real TPUs (the interpreter draws
+    # zeros), so on CPU the flag falls back to the XLA path — the two are
+    # statistically equivalent by design (tools/tpu_gen_check.py validates
+    # the kernel's distributions on hardware).
+    if (
+        cfg.fused_generation
+        and _fused_ok(cfg, spectrum_ops)
+        and jax.default_backend() != "cpu"
+    ):
+        from ..kernels.generation import fused_generation
+
+        key, k_seed = jax.random.split(state.key)
+        seed = jax.random.randint(k_seed, (), 0, 2**31 - 1)
+        fitness, values, steps = fused_generation(
+            seed,
+            state.parent_values,
+            state.parent_steps,
+            spectrum_ops.dft_cos,
+            spectrum_ops.dft_sin,
+            target_spectrum,
+            pop=cfg.population_size,
+            param_mins=cfg.param_mins,
+            param_maxs=cfg.param_maxs,
+            topology=cfg.topology,
+            n=cfg.n_samples,
+            wavetable_size=cfg.wavetable_size,
+            sample_rate=cfg.sample_rate,
+            pop_block=cfg.pop_block,
+            interpret=jax.default_backend() == "cpu",
+            num_frames=cfg.num_frames,
+            alpha=cfg.alpha,
+            beta=cfg.beta,
+            beta_scale=cfg.beta_scale,
+            root_two_over_pi=cfg.root_two_over_pi,
+            clamp_values=cfg.clamp_values,
+        )
+    else:
+        key, k_rec, k_mut = jax.random.split(state.key, 3)
+        values, steps = recombine(k_rec, state.parent_values, state.parent_steps, cfg)
+        values, steps = mutate(k_mut, values, steps, cfg)
+        fitness = evaluate(values, target_spectrum, spectrum_ops, cfg)
     pv, ps, pf = select(values, steps, fitness, cfg.num_parents)
     improved = pf[0] < state.best_fitness
     return ESState(

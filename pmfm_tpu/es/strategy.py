@@ -209,7 +209,7 @@ def _fused_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
     from ..kernels.synth_fitness import TIME_BLOCK
 
     return (
-        cfg.fused_kernel
+        (cfg.fused_kernel or cfg.fused_generation)
         and cfg.spectrum_method == "dft"
         and spectrum_ops.dft_cos is not None
         and cfg.n_samples % TIME_BLOCK == 0

@@ -1,0 +1,251 @@
+"""Fully-fused generation kernel: recombine + mutate + synthesise + DFT +
+fitness in ONE Pallas program per population block.
+
+Extends kernels/synth_fitness.py with an in-kernel offspring prologue:
+per block, parent indices and mutation noise come from the on-core PRNG
+(pltpu.prng_random_bits), parent genes are gathered with per-dimension
+one-hot matmuls against the VMEM-resident (mu, D) parent arrays, and the
+canonical mutation (Ek coin, retry-with-flipped-gauss, log-normal step
+adaptation — kernels/ocl_program.cl:155-190) runs on registers. The offspring
+(values, steps) are written back to HBM only because truncation selection
+gathers the mu survivors afterwards — O(P*D) bytes, the only HBM traffic of
+the whole generation besides the fitness vector.
+
+Distribution parity with es/strategy.py is statistical (SURVEY.md §7.4): the
+same gene-from-uniform-parent recombination and CLT-style sigma=1/6 gaussian,
+drawn from the TPU PRNG instead of threefry.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.wavetable import DEFAULT_SAMPLE_RATE, DEFAULT_WAVETABLE_SIZE
+from .synth_fitness import DEFAULT_POP_BLOCK, TIME_BLOCK, _evaluate_block, _tri_strict
+
+
+def _uniform01(shape):
+    """U[0,1) from raw PRNG bits (24-bit mantissa path).
+
+    prng_random_bits yields *signed* int32 — bitcast to uint32 before the
+    shift or the arithmetic shift keeps the sign and skews the distribution.
+    """
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # Mosaic has no uint32->f32 cast; bitcast the 24-bit value through int32
+    u24 = pltpu.bitcast(bits >> 8, jnp.int32)
+    return u24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def _gen_kernel(
+    seed_ref,  # (1, 1) int32 SMEM
+    pv_ref,  # (D, MU) f32 parent values (transposed: no in-kernel transpose)
+    ps_ref,  # (D, MU) f32 parent steps
+    dft_ref,  # (2K, N) bf16
+    target_ref,  # (K, F) f32
+    tri_ref,  # (C, C) f32
+    fitness_ref,  # (G, PB) f32 out
+    values_ref,  # (D, P) f32 out — offspring values (transposed)
+    steps_ref,  # (D, P) f32 out
+    acc_scratch,  # (2K, PB) f32
+    *,
+    mu: int,
+    d: int,
+    alpha: float,
+    beta: float,
+    beta_scale: float,
+    root_two_over_pi: float,
+    clamp_values: bool,
+    **statics,
+):
+    pb = statics["pb"]
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0, 0] + i)
+
+    pv = pv_ref[:]  # (D, MU)
+    ps = ps_ref[:]
+    m_iota = jax.lax.broadcasted_iota(jnp.int32, (mu, pb), 0)
+
+    # --- recombine: per-(dim, lane) uniform random parent ------------------
+    # one-hot (mu, PB) per dimension -> (2, mu) @ (mu, PB) matmul carries
+    # (value, step) together (recombinePopulation semantics,
+    # kernels/ocl_program.cl:73-149 / CPU random-parent copy)
+    val_rows = []
+    step_rows = []
+    for dim in range(d):
+        r = pltpu.prng_random_bits((8, pb))  # >=8 sublanes for the VPU tile
+        idx = (r[0:1, :].astype(jnp.int32) & 0x7FFFFFFF) % mu  # (1, PB)
+        onehot = (m_iota == idx).astype(jnp.float32)  # (mu, PB)
+        both = jnp.concatenate(
+            [pv[dim : dim + 1, :], ps[dim : dim + 1, :]], axis=0
+        )  # (2, MU)
+        # HIGHEST precision: Mosaic's default f32 matmul multiplies in bf16,
+        # which would round every copied gene; with multi-pass f32 the
+        # products are by exactly 1.0/0.0, so the copy is bit-exact.
+        got = jax.lax.dot_general(
+            both, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (2, PB)
+        val_rows.append(got[0:1, :])
+        step_rows.append(got[1:2, :])
+    x = jnp.concatenate(val_rows, axis=0)  # (D, PB)
+    s = jnp.concatenate(step_rows, axis=0)
+
+    # --- mutate (kernels/ocl_program.cl:155-190) --------------------------
+    coin = pltpu.prng_random_bits((d, pb)) & 1
+    ek = jnp.where(coin == 0, jnp.float32(alpha), jnp.float32(1.0 / alpha))
+    g = jnp.zeros((d, pb), jnp.float32)
+    for _ in range(12):  # CLT gaussian: mean of 12 U(-1,1), sigma = 1/6
+        g = g + (_uniform01((d, pb)) * 2.0 - 1.0)
+    g = g * jnp.float32(1.0 / 12.0)
+
+    new_x = x + ek * s * g
+    out_of_range = (new_x < 0.0) | (new_x > 1.0)
+    g = jnp.where(out_of_range, g * -0.5, g)
+    new_x = jnp.where(out_of_range, x + ek * s * g, new_x)
+    if clamp_values:
+        new_x = jnp.clip(new_x, 0.0, 1.0)
+    es = jnp.exp(jnp.abs(g) - jnp.float32(root_two_over_pi))
+    new_s = s * (ek ** jnp.float32(beta)) * (es ** jnp.float32(beta_scale))
+
+    values_ref[:, pl.ds(i * pb, pb)] = new_x
+    steps_ref[:, pl.ds(i * pb, pb)] = new_s
+
+    # --- scale + evaluate --------------------------------------------------
+    # per-dim python-float constants (pallas kernels cannot capture vector
+    # constants; scalars are fine)
+    mins = statics.pop("mins")
+    maxs = statics.pop("maxs")
+    p_scaled = jnp.concatenate(
+        [
+            jnp.float32(mins[dim])
+            + new_x[dim : dim + 1, :] * jnp.float32(maxs[dim] - mins[dim])
+            for dim in range(d)
+        ],
+        axis=0,
+    )
+    fit = _evaluate_block(p_scaled, dft_ref, target_ref, tri_ref[:], acc_scratch, **statics)
+    fitness_ref[pl.ds(i, 1), :] = fit
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "topology", "n", "wavetable_size", "sample_rate", "pop", "pop_block",
+        "interpret", "time_block", "num_frames", "alpha", "beta", "beta_scale",
+        "root_two_over_pi", "clamp_values", "param_mins", "param_maxs",
+    ),
+)
+def fused_generation(
+    seed: jax.Array,  # () int32
+    parent_values: jax.Array,  # (mu, D) f32
+    parent_steps: jax.Array,  # (mu, D) f32
+    dft_cos: jax.Array,
+    dft_sin: jax.Array,
+    target_spectrum: jax.Array,  # (K,) or (F, K)
+    *,
+    pop: int,
+    param_mins: tuple,
+    param_maxs: tuple,
+    topology: str = "fm3_series",
+    n: int = 1024,
+    wavetable_size: int = DEFAULT_WAVETABLE_SIZE,
+    sample_rate: int = DEFAULT_SAMPLE_RATE,
+    pop_block: int = DEFAULT_POP_BLOCK,
+    interpret: bool = False,
+    time_block: int = TIME_BLOCK,
+    num_frames: int = 1,
+    alpha: float = 1.4,
+    beta: float = math.sqrt(1.0 / 6.0),
+    beta_scale: float = 1.0 / 6.0,
+    root_two_over_pi: float = math.sqrt(2.0 / math.pi),
+    clamp_values: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One whole generation's offspring + fitness.
+
+    Returns ``(fitness (P,), values (P, D), steps (P, D))`` — feed to
+    ``es.strategy.select`` for truncation selection.
+    """
+    mu, d = parent_values.shape
+    k = dft_cos.shape[1]
+    pb = min(pop_block, pop)
+    while pop % pb:
+        pb //= 2
+    if n % time_block:
+        raise ValueError(f"n={n} must be a multiple of {time_block}")
+    dft = jnp.concatenate([dft_cos, dft_sin], axis=1).T.astype(jnp.bfloat16)
+    if target_spectrum.ndim == 1:
+        tgt = target_spectrum.astype(jnp.float32)[:, None]
+    else:
+        tgt = target_spectrum.astype(jnp.float32).T
+    tri = jnp.asarray(_tri_strict(time_block))
+    kernel = functools.partial(
+        _gen_kernel,
+        mu=mu,
+        d=d,
+        alpha=alpha,
+        beta=beta,
+        beta_scale=beta_scale,
+        root_two_over_pi=root_two_over_pi,
+        clamp_values=clamp_values,
+        mins=param_mins,
+        maxs=param_maxs,
+        topology=topology,
+        n=n,
+        pb=pb,
+        k=k,
+        c=time_block,
+        wts=float(wavetable_size),
+        w2sr=wavetable_size / float(sample_rate),
+        num_frames=num_frames,
+    )
+    kwargs = {}
+    if interpret:
+        # the TPU-flavoured interpreter implements the pltpu PRNG primitives
+        # (plain interpret=True does not). It draws from its own seeded
+        # stream — the in-kernel prng_seed value is not honoured, so CPU
+        # interpret runs are for testing distributions, not reproducibility.
+        kwargs["interpret"] = pltpu.InterpretParams(random_seed=1234)
+    else:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        )
+    full = lambda *_: (0, 0)  # noqa: E731
+    fitness, values_t, steps_t = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((pop // pb, pb), jnp.float32),
+            jax.ShapeDtypeStruct((d, pop), jnp.float32),
+            jax.ShapeDtypeStruct((d, pop), jnp.float32),
+        ),
+        grid=(pop // pb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
+            pl.BlockSpec((d, mu), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, mu), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * k, n), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, num_frames), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((time_block, time_block), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((pop // pb, pb), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, pop), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, pop), full, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((2 * k, pb), jnp.float32)],
+        **kwargs,
+    )(
+        seed.astype(jnp.int32).reshape(1, 1),
+        parent_values.T.astype(jnp.float32),
+        parent_steps.T.astype(jnp.float32),
+        dft,
+        tgt,
+        tri,
+    )
+    return fitness.reshape(pop), values_t.T, steps_t.T

@@ -60,13 +60,12 @@ def _sin_turns(w):
     return w * (c1 + w2 * (c3 + w2 * (c5 + w2 * (c7 + w2 * c9))))
 
 
-def _kernel(
-    params_ref,  # (D, PB) f32  — transposed: lanes = candidates
-    dft_ref,  # (2K, N) bf16 — [cos; sin] stacked, TRANSPOSED (standard GEMM)
-    target_ref,  # (K, F) f32 — one column of target spectrum per STFT frame
-    tri_ref,  # (C, C) f32 strictly lower triangular
-    fitness_ref,  # (G, PB) f32 out — full array; program i writes row i
-    acc_scratch,  # (2K, PB) f32 VMEM — DFT accumulator across time blocks
+def _evaluate_block(
+    p,  # (D, PB) f32 scaled params — lanes = candidates
+    dft_ref,  # (2K, N) bf16 ref
+    target_ref,  # (K, F) f32 ref
+    tri,  # (C, C) f32 strictly lower triangular (loaded)
+    acc_scratch,  # (2K, PB) f32 VMEM ref
     *,
     topology: str,
     n: int,
@@ -77,15 +76,15 @@ def _kernel(
     w2sr: float,
     num_frames: int = 1,
 ):
+    """Shared kernel body: synthesise one population block and return its
+    fitness row ``(1, PB)``. Used by both the evaluate-only kernel and the
+    full-generation kernel (kernels/generation.py)."""
     # Everything runs in TURNS (phase / wavetable_size): the wrap "mod wts"
     # becomes frac(x) = x - floor(x) (no division), prefix-sum magnitudes
     # stay < C*fmax/sr ~ 82 (f32-exact), and the oscillator is a 9th-order
     # odd polynomial on [-0.5, 0.5] turns (see _sin_turns).
     inv_sr = jnp.float32(w2sr / wts)  # = 1 / sample_rate
     nb = n // c
-    tri = tri_ref[:]
-
-    p = params_ref[:]  # (D, PB)
 
     def frac(x):
         return x - jnp.floor(x)
@@ -190,7 +189,21 @@ def _kernel(
             mag = jnp.sqrt(re * re + im * im)  # (K, PB)
             d = mag - target_ref[:, f : f + 1]  # frame target, lane-broadcast
             fit = fit + jnp.sum(d * d, axis=0)[None, :]
+    return fit
 
+
+def _kernel(
+    params_ref,  # (D, PB) f32  — transposed: lanes = candidates
+    dft_ref,  # (2K, N) bf16 — [cos; sin] stacked, TRANSPOSED (standard GEMM)
+    target_ref,  # (K, F) f32 — one column of target spectrum per STFT frame
+    tri_ref,  # (C, C) f32 strictly lower triangular
+    fitness_ref,  # (G, PB) f32 out — full array; program i writes row i
+    acc_scratch,  # (2K, PB) f32 VMEM — DFT accumulator across time blocks
+    **statics,
+):
+    fit = _evaluate_block(
+        params_ref[:], dft_ref, target_ref, tri_ref[:], acc_scratch, **statics
+    )
     # Mosaic needs >=(8,128) blocks, so the output block is the full (G, PB)
     # array and each program writes only its own row.
     fitness_ref[pl.ds(pl.program_id(0), 1), :] = fit

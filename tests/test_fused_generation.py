@@ -1,0 +1,125 @@
+"""Fully-fused generation kernel (in-kernel PRNG offspring) tests.
+
+The Pallas interpreter's PRNG returns zeros, so distributional properties of
+the kernel are validated on hardware by ``tools/tpu_gen_check.py``; here we
+test kernel structure (interpret mode) and the pipeline integration (which on
+CPU falls back to the statistically-equivalent XLA path).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pmfm_tpu import ops
+from pmfm_tpu.es import ESConfig, generation_step, init_state, make_spectrum_ops
+from pmfm_tpu.kernels.generation import fused_generation
+
+ON_CPU = jax.default_backend() == "cpu"
+
+CFG = ESConfig(
+    num_parents=16,
+    num_offspring=48,
+    num_dimensions=6,
+    topology="fm3_series",
+    audio_length_log2=8,
+    synthesis_engine="scanless",
+    dft_dtype="bfloat16",
+    fused_generation=True,
+    pop_block=32,
+)
+
+
+def _call(cfg, pv, ps, tgt, seed=0):
+    so = make_spectrum_ops(cfg)
+    return fused_generation(
+        jnp.asarray(seed, jnp.int32), pv, ps, so.dft_cos, so.dft_sin, tgt,
+        pop=cfg.population_size, param_mins=cfg.param_mins,
+        param_maxs=cfg.param_maxs, topology=cfg.topology, n=cfg.n_samples,
+        pop_block=cfg.pop_block, interpret=ON_CPU, alpha=cfg.alpha,
+        beta=cfg.beta, beta_scale=cfg.beta_scale,
+        root_two_over_pi=cfg.root_two_over_pi, clamp_values=cfg.clamp_values,
+    )
+
+
+class TestKernelStructure:
+    def test_shapes_and_gene_provenance(self):
+        key = jax.random.PRNGKey(0)
+        pv = jax.random.uniform(key, (16, 6))
+        ps = jnp.zeros((16, 6))  # zero steps => mutation is a no-op
+        so = make_spectrum_ops(CFG)
+        tgt = jnp.ones((so.num_bins,), jnp.float32)
+        fit, values, steps = _call(CFG, pv, ps, tgt)
+        assert fit.shape == (64,)
+        assert values.shape == (64, 6)
+        assert steps.shape == (64, 6)
+        assert np.isfinite(np.asarray(fit)).all()
+        # with zero steps every offspring gene must be an exact parent gene
+        pvn = np.asarray(pv)
+        vn = np.asarray(values)
+        for d in range(6):
+            assert np.isin(vn[:, d], pvn[:, d]).all(), f"dim {d}"
+
+    def test_fitness_matches_separate_evaluate(self):
+        """Fitness reported for the offspring must equal evaluate() re-run on
+        those same offspring."""
+        from pmfm_tpu.es.strategy import evaluate
+
+        key = jax.random.PRNGKey(1)
+        pv = jax.random.uniform(key, (16, 6))
+        ps = jnp.full((16, 6), 0.05)
+        so = make_spectrum_ops(CFG)
+        tgt = jnp.full((so.num_bins,), 0.3, jnp.float32)
+        fit, values, _ = _call(CFG, pv, ps, tgt, seed=3)
+        again = evaluate(
+            jnp.asarray(values), tgt, so,
+            CFG.replace(fused_kernel=True, fused_generation=False),
+        )
+        np.testing.assert_allclose(np.asarray(fit), np.asarray(again), rtol=2e-2)
+
+
+class TestPipelineIntegration:
+    def test_generation_step_converges(self):
+        so = make_spectrum_ops(CFG)
+        maxs = np.asarray(CFG.param_maxs, np.float32)
+        tgt_audio = ops.synthesize(
+            jnp.asarray(np.full(6, 0.4, np.float32) * maxs)[None],
+            CFG.n_samples, CFG.topology, engine="scanless",
+        )
+        tspec = ops.target_spectrum(tgt_audio[:, 0], so)
+        state = init_state(jax.random.PRNGKey(5), CFG)
+        bests = []
+        for _ in range(6):
+            state = generation_step(state, tspec, so, CFG)
+            bests.append(float(state.best_fitness))
+        assert all(b2 <= b1 + 1e-6 for b1, b2 in zip(bests, bests[1:]))
+        assert np.isfinite(bests[-1])
+
+
+@pytest.mark.skipif(ON_CPU, reason="kernel PRNG requires real TPU hardware")
+class TestHardwareDistributions:
+    """Run via tools/tpu_gen_check.py on the chip; mirrored here for pods."""
+
+    def test_offspring_distribution_moments(self):
+        mu, pop = 4, 4096
+        cfg = CFG.replace(num_parents=mu, num_offspring=pop - mu, pop_block=512)
+        pv = jnp.full((mu, 6), 0.5)
+        step = 1e-3
+        ps = jnp.full((mu, 6), step)
+        so = make_spectrum_ops(cfg)
+        tgt = jnp.ones((so.num_bins,), jnp.float32)
+        _, values, steps = _call(cfg, pv, ps, tgt, seed=7)
+        moves = (np.asarray(values, np.float64) - 0.5) / step
+        expect = (cfg.alpha**2 + cfg.alpha**-2) / 2 * (1 / 36)
+        got = float(np.mean(moves**2))
+        assert abs(got - expect) < 0.1 * expect
+
+    def test_different_seeds_differ(self):
+        key = jax.random.PRNGKey(2)
+        pv = jax.random.uniform(key, (16, 6))
+        ps = jnp.full((16, 6), 0.1)
+        so = make_spectrum_ops(CFG)
+        tgt = jnp.ones((so.num_bins,), jnp.float32)
+        _, v1, _ = _call(CFG, pv, ps, tgt, seed=1)
+        _, v2, _ = _call(CFG, pv, ps, tgt, seed=2)
+        assert not np.allclose(np.asarray(v1), np.asarray(v2))

@@ -108,3 +108,21 @@ class TestShardedStep:
         state = init_state(jax.random.PRNGKey(2), cfg)
         final, _ = evolve_sharded(state, tspec, 50, so, cfg, mesh)
         assert int(final.generation) == 1
+
+
+class TestShardedFused:
+    def test_sharded_step_with_fused_kernel_interpret(self, mesh, tspec):
+        """The Pallas kernel must compose with shard_map (per-shard local
+        evaluate)."""
+        from pmfm_tpu.es import make_spectrum_ops
+
+        cfg = CFG.replace(
+            fused_kernel=True, pop_block=8, synthesis_engine="scanless",
+            dft_dtype="bfloat16",
+        )
+        so = make_spectrum_ops(cfg)
+        state = init_state(jax.random.PRNGKey(11), cfg)
+        out = sharded_generation_step(state, tspec, so, cfg, mesh)
+        assert np.isfinite(np.asarray(out.parent_fitness)).all()
+        pf = np.asarray(out.parent_fitness)
+        assert np.all(np.diff(pf) >= 0)
