@@ -172,6 +172,9 @@ def suite_optimizations(args, bm):
                                   dft_dtype="bfloat16", fused_kernel=False),
         "fused-pallas": dict(synthesis_engine="scanless", spectrum_method="dft",
                              dft_dtype="bfloat16", fused_kernel=True),
+        "fused-generation": dict(synthesis_engine="scanless", spectrum_method="dft",
+                                 dft_dtype="bfloat16", fused_kernel=True,
+                                 fused_generation=True),
     }
     for name, over in variants.items():
         cfg = _base_cfg(args, **over)

@@ -188,8 +188,15 @@ def main(argv: list[str] | None = None) -> int:
         mesh = make_mesh(shape=mesh_shape, axis_names=run_cfg.mesh_axis_names)
 
     # --- match (main.cpp:229-239) ----------------------------------------
+    # general.isDebug (parsed-but-dead in the reference, SURVEY.md §5.5) is
+    # live here: op-level NaN detection on the whole match.
+    import contextlib
+
+    from .utils.debug import debug_nans
+
+    debug_ctx = debug_nans(True) if run_cfg.is_debug else contextlib.nullcontext()
     start = time.perf_counter()
-    with maybe_trace(args.profile_dir):
+    with maybe_trace(args.profile_dir), debug_ctx:
         if args.mode == "stft":
             result = match_audio_stft(
                 target, cfg, key=args.seed, num_generations=num_generations,
@@ -222,8 +229,15 @@ def main(argv: list[str] | None = None) -> int:
             )
     best = result.best_chunk
     if not args.quiet:
+        # printBest analog with labelled parameters ("Fc, I, Fm, A" style,
+        # Evolutionary_Strategy_OpenCL.hpp:613-631)
+        from .models import get_topology
+
+        names = get_topology(cfg.topology).param_names
         print(f"\nOverall best parameters found\n Fitness = {best.best_fitness:f}")
-        print("  " + ", ".join(f"{v:.4f}" for v in best.best_params_scaled))
+        print("  " + ", ".join(
+            f"{nm}={v:.4f}" for nm, v in zip(names, best.best_params_scaled)
+        ))
         print(f"candidate evaluations: {evals} ({evals / elapsed:.0f}/s)")
 
     # --- output audio (main.cpp:270-275) ---------------------------------

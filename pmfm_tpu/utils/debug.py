@@ -37,7 +37,7 @@ def checked_fitness(evaluate_fn):
 @contextlib.contextmanager
 def debug_nans(enable: bool = True):
     """Scoped jax_debug_nans (catches NaNs at op granularity)."""
-    prev = jax.config.read("jax_debug_nans")
+    prev = jax.config.jax_debug_nans
     jax.config.update("jax_debug_nans", enable)
     try:
         yield

@@ -306,3 +306,27 @@ class TestNativeRuntime:
         t2 = runtime.monotonic_ms()
         assert t2 >= t1
 
+
+
+class TestDebugHarness:
+    def test_debug_nans_context(self):
+        import jax.numpy as jnp
+
+        from pmfm_tpu.utils.debug import debug_nans
+
+        with debug_nans(True):
+            with pytest.raises(FloatingPointError):
+                _ = jnp.log(jnp.asarray(-1.0)) * 2  # NaN op under the flag
+        # flag restored
+        _ = np.asarray(jnp.log(jnp.asarray(-1.0)))  # no raise
+
+    def test_checked_fitness(self):
+        import jax.numpy as jnp
+
+        from pmfm_tpu.utils.debug import checked_fitness
+
+        ok = checked_fitness(lambda x: x * 2.0)
+        np.testing.assert_allclose(np.asarray(ok(jnp.asarray([1.0, 2.0]))), [2.0, 4.0])
+        bad = checked_fitness(lambda x: x / 0.0 * 0.0)  # nan
+        with pytest.raises(Exception):
+            bad(jnp.asarray([1.0]))
