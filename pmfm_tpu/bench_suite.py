@@ -23,8 +23,6 @@ import argparse
 import sys
 import time
 
-import numpy as np
-
 
 def _steady_time(fn, *args, reps=3):
     import jax

@@ -78,7 +78,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from .es import match_audio, match_audio_stft
     from .io import load_config, read_wav, write_wav
-    from .ops import scale_params, synthesize_single
+    from .ops import synthesize_single
     from .utils import Benchmarker
     from .utils.profiling import maybe_trace
 

@@ -20,7 +20,6 @@ the running offset — all three oscillators advance in the same time loop.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

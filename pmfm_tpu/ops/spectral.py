@@ -34,7 +34,6 @@ All functions take audio **time-major** ``(N, pop)`` to match synthesis.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -30,9 +30,6 @@ largest array in the pipeline.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 

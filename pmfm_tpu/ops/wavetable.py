@@ -26,7 +26,6 @@ closed-form on the VPU:
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

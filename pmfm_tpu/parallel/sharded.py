@@ -23,7 +23,7 @@ buffers, Evolutionary_Strategy_OpenCL.hpp:287-291).
 """
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ import hashlib
 import json
 import os
 
-import jax
 import numpy as np
 
 from ..es.config import ESConfig

@@ -8,11 +8,8 @@ with the same ESConfig resumes after the last completed chunk. See
 """
 from __future__ import annotations
 
-import glob
 import os
-import re
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
