@@ -359,6 +359,10 @@ def match_audio(
         start_chunk, results, out_audio, key = chunk_store.resume(
             checkpoint_dir, cfg, key
         )
+        # a previous run may have matched a longer target
+        start_chunk = min(start_chunk, num_chunks)
+        results = results[:num_chunks]
+        out_audio = out_audio[:num_chunks]
     if benchmarker is not None:
         benchmarker.start_timer("Total Audio Analysis Time")
     for i in range(start_chunk, num_chunks):

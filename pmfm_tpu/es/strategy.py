@@ -214,7 +214,18 @@ def _fused_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
         and spectrum_ops.dft_cos is not None
         and cfg.n_samples % TIME_BLOCK == 0
         and spectrum_ops.num_bins % 128 == 0
+        and _final_pop_block_ok(cfg)
     )
+
+
+def _final_pop_block_ok(cfg: ESConfig) -> bool:
+    """Mosaic needs the lane dim to be a multiple of 128 or the whole array:
+    check the pop_block that survives the divisibility halving."""
+    pop = cfg.population_size
+    pb = min(cfg.pop_block, pop)
+    while pop % pb:
+        pb //= 2
+    return pb % 128 == 0 or pb == pop
 
 
 def evaluate(

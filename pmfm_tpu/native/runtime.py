@@ -24,7 +24,9 @@ _tried = False
 def build(force: bool = False) -> bool:
     """Compile the shared library. Returns True on success."""
     if os.path.exists(_LIB_PATH) and not force:
-        if not force and os.path.exists(_SRC) and os.path.getmtime(_SRC) <= os.path.getmtime(_LIB_PATH):
+        if not os.path.exists(_SRC):
+            return True  # prebuilt library shipped without sources
+        if os.path.getmtime(_SRC) <= os.path.getmtime(_LIB_PATH):
             return True
     cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB_PATH]
     try:
