@@ -15,7 +15,14 @@ from ..ops.synthesis import TOPOLOGY_DIMS
 from ..ops.wavetable import DEFAULT_SAMPLE_RATE, DEFAULT_WAVETABLE_SIZE
 
 RECOMBINE_MODES = ("gather", "compat_shuffle", "off")
-MUTATION_NOISE_MODES = ("clt12", "normal")
+# clt12/normal: reference parity — sigma=1/6 noise against the sigma=1
+# constant sqrt(2/pi), which makes step adaptation contract by ~0.895x per
+# generation and freezes the search after ~100 generations (a latent bug in
+# the reference's gauss_rand, kernels/ocl_program.cl:21-31: it divides the
+# CLT sum by 12 instead of normalising variance).
+# *_neutral / normal_unit: the intended neutral-drift self-adaptation
+# (E[ln Es] = 0), SURVEY.md §7.4 "implement the intended algorithm".
+MUTATION_NOISE_MODES = ("clt12", "normal", "clt12_neutral", "normal_unit")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,8 +117,19 @@ class ESConfig:
         return math.sqrt(self.beta_scale)
 
     @property
+    def gauss_sigma(self) -> float:
+        """Mutation noise scale: reference CLT gaussian is sigma = 1/6."""
+        return 1.0 if self.mutation_noise == "normal_unit" else 1.0 / 6.0
+
+    @property
     def root_two_over_pi(self) -> float:
-        return math.sqrt(2.0 / math.pi)
+        """The Es offset in step adaptation (reference constant
+        Evolutionary_Strategy.hpp:614). In the *_neutral modes it is scaled
+        to E|g| of the actual noise so E[ln Es] = 0 (neutral drift)."""
+        base = math.sqrt(2.0 / math.pi)
+        if self.mutation_noise == "clt12_neutral":
+            return base * self.gauss_sigma
+        return base
 
     def replace(self, **kw) -> "ESConfig":
         return dataclasses.replace(self, **kw)

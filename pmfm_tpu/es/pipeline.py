@@ -59,6 +59,7 @@ def generation_step(
     if (
         cfg.fused_generation
         and _fused_ok(cfg, spectrum_ops)
+        and cfg.gauss_sigma == 1.0 / 6.0  # kernel noise is CLT sigma=1/6
         and jax.default_backend() != "cpu"
     ):
         from ..kernels.generation import fused_generation

@@ -158,12 +158,14 @@ def recombine(
 def _gauss(key: jax.Array, shape, mode: str) -> jax.Array:
     """The reference's "gaussian": mean of 12 uniforms in [-1, 1]
     (kernels/ocl_program.cl:21-31) — i.e. sigma = 1/6, NOT unit variance.
-    ``normal`` mode draws N(0, 1/6) directly (statistically equivalent bulk,
-    12x fewer random bits)."""
-    if mode == "clt12":
+    ``normal`` draws N(0, 1/6) directly (statistically equivalent bulk, 12x
+    fewer random bits); ``normal_unit`` draws N(0, 1) (canonical Schwefel);
+    the ``*_neutral`` variants differ only in the Es offset (config.py)."""
+    if mode in ("clt12", "clt12_neutral"):
         u = jax.random.uniform(key, (*shape, 12), jnp.float32, -1.0, 1.0)
         return jnp.sum(u, axis=-1) / 12.0
-    return jax.random.normal(key, shape, jnp.float32) * (1.0 / 6.0)
+    sigma = 1.0 if mode == "normal_unit" else 1.0 / 6.0
+    return jax.random.normal(key, shape, jnp.float32) * sigma
 
 
 def mutate(

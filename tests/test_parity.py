@@ -121,3 +121,38 @@ class TestGoldenConfig1:
 
         # 3. the match actually converged meaningfully
         assert best.best_fitness < 0.3 * best.trajectory[0]
+
+
+class TestNeutralDriftModes:
+    def test_clt12_neutral_has_zero_step_drift(self):
+        """The intended self-adaptation: E[ln s'/s] = 0 (config.py rationale;
+        the reference's own constants give -0.111/generation and freeze the
+        search)."""
+        from pmfm_tpu.es import mutate
+
+        cfg = ESConfig(num_parents=16, num_offspring=16, num_dimensions=6,
+                       mutation_noise="clt12_neutral")
+        v = jnp.full((50_000, 6), 0.5)
+        s = jnp.full((50_000, 6), 0.01)
+        _, s2 = mutate(jax.random.PRNGKey(11), v, s, cfg)
+        drift = float(np.log(np.asarray(s2, np.float64) / 0.01).mean())
+        assert abs(drift) < 0.01
+
+    def test_normal_unit_matches_canonical_constant(self):
+        from pmfm_tpu.es import mutate
+
+        cfg = ESConfig(num_parents=16, num_offspring=16, num_dimensions=6,
+                       mutation_noise="normal_unit")
+        assert cfg.gauss_sigma == 1.0
+        v = jnp.full((50_000, 6), 0.5)
+        s = jnp.full((50_000, 6), 1e-4)
+        _, s2 = mutate(jax.random.PRNGKey(12), v, s, cfg)
+        drift = float(np.log(np.asarray(s2, np.float64) / 1e-4).mean())
+        assert abs(drift) < 0.01  # E|N(0,1)| == sqrt(2/pi): neutral
+
+    def test_reference_mode_still_contracts(self):
+        """Parity guard: default mode keeps the reference's contractive
+        dynamics."""
+        cfg = ESConfig(num_parents=16, num_offspring=16, num_dimensions=6)
+        assert cfg.mutation_noise == "clt12"
+        assert abs(cfg.root_two_over_pi - np.sqrt(2 / np.pi)) < 1e-9
