@@ -57,6 +57,7 @@ class ESConfig:
     recombine_mode: str = "gather"  # "gather" | "compat_shuffle" | "off"
     mutation_noise: str = "clt12"  # "clt12" (reference CLT gaussian) | "normal"
     clamp_values: bool = False  # OpenCL leaves values unclamped after retry
+    min_step: float = 0.0  # step floor (0 = reference behavior: none)
     workgroup_size: int = 32  # only used by compat_shuffle recombination
     scan_unroll: int = 8
     dft_dtype: str = "float32"  # "float32" | "bfloat16"

@@ -88,6 +88,7 @@ def generation_step(
             beta_scale=cfg.beta_scale,
             root_two_over_pi=cfg.root_two_over_pi,
             clamp_values=cfg.clamp_values,
+            min_step=cfg.min_step,
         )
     else:
         key, k_rec, k_mut = jax.random.split(state.key, 3)

@@ -199,6 +199,10 @@ def mutate(
 
     es = jnp.exp(jnp.abs(g) - cfg.root_two_over_pi)
     new_steps = steps * (ek ** cfg.beta) * (es ** cfg.beta_scale)
+    if cfg.min_step > 0.0:
+        # step floor: keeps exploration alive indefinitely (the reference's
+        # steps decay to ~0 and freeze the search; capability upgrade)
+        new_steps = jnp.maximum(new_steps, cfg.min_step)
     return new_x, new_steps
 
 

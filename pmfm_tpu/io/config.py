@@ -120,6 +120,7 @@ def parse_config(j: dict[str, Any]) -> RunConfig:
         num_bins=tpu.get("numBins"),
         recombine_mode=tpu.get("recombineMode", "gather"),
         mutation_noise=tpu.get("mutationNoise", "clt12"),
+        min_step=float(tpu.get("minStep", 0.0)),
         dft_dtype=tpu.get("dftDtype", "float32"),
         workgroup_size=int(
             typ.get(typ.get("implementation", "OpenCL"), {}).get("workgroupSize", 32)

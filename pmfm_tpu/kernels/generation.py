@@ -60,6 +60,7 @@ def _gen_kernel(
     beta_scale: float,
     root_two_over_pi: float,
     clamp_values: bool,
+    min_step: float,
     **statics,
 ):
     pb = statics["pb"]
@@ -112,6 +113,8 @@ def _gen_kernel(
         new_x = jnp.clip(new_x, 0.0, 1.0)
     es = jnp.exp(jnp.abs(g) - jnp.float32(root_two_over_pi))
     new_s = s * (ek ** jnp.float32(beta)) * (es ** jnp.float32(beta_scale))
+    if min_step > 0.0:
+        new_s = jnp.maximum(new_s, jnp.float32(min_step))
 
     values_ref[:, pl.ds(i * pb, pb)] = new_x
     steps_ref[:, pl.ds(i * pb, pb)] = new_s
@@ -139,6 +142,7 @@ def _gen_kernel(
         "topology", "n", "wavetable_size", "sample_rate", "pop", "pop_block",
         "interpret", "time_block", "num_frames", "alpha", "beta", "beta_scale",
         "root_two_over_pi", "clamp_values", "param_mins", "param_maxs",
+        "min_step",
     ),
 )
 def fused_generation(
@@ -165,6 +169,7 @@ def fused_generation(
     beta_scale: float = 1.0 / 6.0,
     root_two_over_pi: float = math.sqrt(2.0 / math.pi),
     clamp_values: bool = False,
+    min_step: float = 0.0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One whole generation's offspring + fitness.
 
@@ -193,6 +198,7 @@ def fused_generation(
         beta_scale=beta_scale,
         root_two_over_pi=root_two_over_pi,
         clamp_values=clamp_values,
+        min_step=min_step,
         mins=param_mins,
         maxs=param_maxs,
         topology=topology,
