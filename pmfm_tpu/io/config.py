@@ -28,7 +28,8 @@ TPU extension section (all optional)::
     "oscMode": "floor",             # floor | exact | table
     "spectrumMethod": "dft",        # dft | rfft | auto
     "recombineMode": "gather",      # gather | compat_shuffle | off
-    "mutationNoise": "clt12",       # clt12 | normal
+    "mutationNoise": "clt12",       # clt12 | normal | clt12_neutral | normal_unit
+    "minStep": 0.0,                 # mutation step floor (0 = reference)
     "dftDtype": "float32",          # float32 | bfloat16
     "numBins": null,
     "meshShape": [8],               # population-sharding mesh (parallel/)
