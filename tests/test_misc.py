@@ -1,0 +1,75 @@
+"""Coverage for profiling hooks, spectrum auto-select, benchmarker wiring."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pmfm_tpu import ops
+from pmfm_tpu.es import ESConfig, match_audio
+from pmfm_tpu.utils import Benchmarker
+
+
+class TestSpectrumAuto:
+    def test_auto_selects_dft_small(self):
+        so = ops.make_spectrum_ops(1024, method="auto")
+        assert so.method == "dft" and so.dft_cos is not None
+
+    def test_auto_selects_rfft_large(self):
+        so = ops.make_spectrum_ops(8192, method="auto")
+        assert so.method == "rfft" and so.dft_cos is None
+
+
+class TestProfilingHooks:
+    def test_trace_writes_artifacts(self, tmp_path):
+        import jax
+
+        from pmfm_tpu.utils.profiling import annotate, maybe_trace
+
+        with maybe_trace(str(tmp_path)):
+            with annotate("stage"):
+                jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+        assert any(tmp_path.rglob("*"))  # trace artifacts written
+
+    def test_maybe_trace_none_is_noop(self):
+        from pmfm_tpu.utils.profiling import maybe_trace
+
+        with maybe_trace(None):
+            pass
+
+
+class TestBenchmarkerWiring:
+    def test_match_audio_records_timers(self):
+        cfg = ESConfig(num_parents=8, num_offspring=8, num_dimensions=4,
+                       topology="fm2", param_mins=(0.0,) * 4,
+                       param_maxs=(3520.0, 8.0, 3520.0, 1.0), audio_length_log2=8)
+        tgt = np.random.default_rng(0).standard_normal(2 * 256).astype(np.float32)
+        bm = Benchmarker(quiet=True)
+        match_audio(tgt, cfg, key=1, num_generations=2, benchmarker=bm)
+        chunk = bm.elapsed_timer("chunk")
+        total = bm.elapsed_timer("Total Audio Analysis Time")
+        assert chunk["Total_Time"] > 0
+        assert total["Total_Time"] >= chunk["Total_Time"] * 0.5
+        # per-chunk stats: two chunks recorded
+        assert chunk["Max_Time"] >= chunk["Min_Time"]
+
+
+class TestCLITrajectory:
+    def test_trajectory_flag(self, tmp_path, capsys):
+        import json
+
+        from pmfm_tpu.cli import main
+
+        cfg = {
+            "general": {"isAudio": False, "isBenchmarking": False, "isLog": False},
+            "audio": {"audioLengthLog2": 8},
+            "evolutionary": {"numParents": 8, "numOffspring": 8,
+                             "numDimensions": 4, "numGenerations": 3,
+                             "paramMins": [0] * 4,
+                             "paramMaxs": [3520.0, 8.0, 3520.0, 1.0]},
+            "type": {"input": "params", "params": [880, 2.0, 2500, 0.9]},
+        }
+        p = tmp_path / "c.json"
+        p.write_text(json.dumps(cfg))
+        rc = main(["-j", str(p), "--trajectory", "--quiet",
+                   "--input-generated-path", str(tmp_path / "ig.wav")])
+        assert rc == 0
