@@ -169,9 +169,13 @@ def main(argv: list[str] | None = None) -> int:
     # --- benchmarking setup (reference CSV naming) ------------------------
     bm = None
     if run_cfg.is_benchmarking:
+        backend = "tpu"
+        if jax.process_count() > 1:
+            # per-host benchmark logs in multi-host runs (BASELINE config 4)
+            backend = f"tpu_host{jax.process_index()}"
         csv_path = (
             Benchmarker.log_filename(
-                "tpu", cfg.population_size, num_generations, cfg.n_samples
+                backend, cfg.population_size, num_generations, cfg.n_samples
             )
             if run_cfg.is_log
             else None
