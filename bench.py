@@ -25,6 +25,21 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 BASELINE_2080TI_EVALS_PER_SEC = 10e6
 
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the remote compile service occasionally
+    hangs; cached executables make retries instant."""
+    import os
+
+    import jax
+
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_tpu_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
 POP = 1 << 15
 AUDIO_LOG2 = 10
 GENS = 100
@@ -34,6 +49,8 @@ MU = 256
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from pmfm_tpu.es import ESConfig, init_state, make_spectrum_ops
     from pmfm_tpu.es.pipeline import evolve

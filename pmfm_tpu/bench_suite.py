@@ -204,6 +204,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from .utils import Benchmarker
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     csv = args.csv or Benchmarker.log_filename("tpu_suite", args.pop, args.gens, 1 << args.log2)
     bm = Benchmarker(csv_path=csv, quiet=True)

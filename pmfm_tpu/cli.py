@@ -69,6 +69,10 @@ def main(argv: list[str] | None = None) -> int:
     # Defer heavy imports so `pmfm --help` is instant.
     import jax
 
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     if args.list_devices:
         # printAvailableDevices analog (Evolutionary_Strategy_OpenCL.hpp:634-680)
         for d in jax.devices():
