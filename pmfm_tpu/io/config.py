@@ -24,6 +24,7 @@ TPU extension section (all optional)::
     "topology": "fm3_series",       # fm2 | fm3_series | fm3_parallel
     "synthesisEngine": "scan",      # scan | scanless
     "fusedKernel": false,           # Pallas fused synth+DFT+fitness kernel
+    "fusedGeneration": false,       # whole generation in one kernel (TPU only)
     "popBlock": 512,                # candidates per fused-kernel program
     "oscMode": "floor",             # floor | exact | table
     "spectrumMethod": "dft",        # dft | rfft | auto
@@ -115,6 +116,7 @@ def parse_config(j: dict[str, Any]) -> RunConfig:
         wavetable_size=int(audio.get("wavetableSize", 32768)),
         synthesis_engine=tpu.get("synthesisEngine", "scan"),
         fused_kernel=bool(tpu.get("fusedKernel", False)),
+        fused_generation=bool(tpu.get("fusedGeneration", False)),
         pop_block=int(tpu.get("popBlock", 512)),
         osc_mode=tpu.get("oscMode", "floor"),
         spectrum_method=tpu.get("spectrumMethod", "dft"),
