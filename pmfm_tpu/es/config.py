@@ -67,6 +67,10 @@ class ESConfig:
     # >1: one ES run scored against `num_frames` STFT frames of a longer
     # target (BASELINE.json config 2) instead of fresh-population-per-chunk
     num_frames: int = 1
+    # >0: reinitialise the parents (keeping best-ever) after this many
+    # generations without improvement — escapes the local optima a single
+    # truncation-selected population collapses into (new capability)
+    restart_patience: int = 0
 
     def __post_init__(self):
         if self.topology not in TOPOLOGY_DIMS:

@@ -97,6 +97,16 @@ def generation_step(
         fitness = evaluate(values, target_spectrum, spectrum_ops, cfg)
     pv, ps, pf = select(values, steps, fitness, cfg.num_parents)
     improved = pf[0] < state.best_fitness
+    stall = jnp.where(improved, 0, state.stall + 1).astype(jnp.int32)
+    if cfg.restart_patience > 0:
+        # stall-triggered restart: fresh random parents (best-ever retained)
+        key, k_restart = jax.random.split(key)
+        restart = stall >= cfg.restart_patience
+        fresh_v = jax.random.uniform(k_restart, pv.shape, jnp.float32)
+        pv = jnp.where(restart, fresh_v, pv)
+        ps = jnp.where(restart, jnp.full_like(ps, 0.1), ps)
+        pf = jnp.where(restart, jnp.full_like(pf, jnp.inf), pf)
+        stall = jnp.where(restart, 0, stall)
     return ESState(
         parent_values=pv,
         parent_steps=ps,
@@ -105,6 +115,7 @@ def generation_step(
         best_fitness=jnp.where(improved, pf[0], state.best_fitness),
         key=key,
         generation=state.generation + 1,
+        stall=stall,
     )
 
 

@@ -40,6 +40,7 @@ class ESState(NamedTuple):
     best_fitness: jax.Array  # () best-ever fitness
     key: jax.Array  # PRNG key
     generation: jax.Array  # () int32
+    stall: jax.Array  # () int32 — generations since the best improved
 
 
 def init_state(key: jax.Array, cfg: ESConfig) -> ESState:
@@ -57,6 +58,7 @@ def init_state(key: jax.Array, cfg: ESConfig) -> ESState:
         best_fitness=jnp.asarray(jnp.inf, jnp.float32),
         key=key,
         generation=jnp.asarray(0, jnp.int32),
+        stall=jnp.asarray(0, jnp.int32),
     )
 
 

@@ -31,6 +31,7 @@ TPU extension section (all optional)::
     "recombineMode": "gather",      # gather | compat_shuffle | off
     "mutationNoise": "clt12",       # clt12 | normal | clt12_neutral | normal_unit
     "minStep": 0.0,                 # mutation step floor (0 = reference)
+    "restartPatience": 0,           # restart parents after N stalled gens
     "dftDtype": "float32",          # float32 | bfloat16
     "numBins": null,
     "meshShape": [8],               # population-sharding mesh (parallel/)
@@ -124,6 +125,7 @@ def parse_config(j: dict[str, Any]) -> RunConfig:
         recombine_mode=tpu.get("recombineMode", "gather"),
         mutation_noise=tpu.get("mutationNoise", "clt12"),
         min_step=float(tpu.get("minStep", 0.0)),
+        restart_patience=int(tpu.get("restartPatience", 0)),
         dft_dtype=tpu.get("dftDtype", "float32"),
         workgroup_size=int(
             typ.get(typ.get("implementation", "OpenCL"), {}).get("workgroupSize", 32)

@@ -88,6 +88,16 @@ def sharded_generation_step(
             gf.reshape(n_shards * mu), mu,
         )
         improved = pf[0] < state.best_fitness
+        stall = jnp.where(improved, 0, state.stall + 1).astype(jnp.int32)
+        if cfg.restart_patience > 0:
+            # stall-triggered restart (replicated: same key on all shards)
+            k_next, k_restart = jax.random.split(k_next)
+            restart = stall >= cfg.restart_patience
+            fresh_v = jax.random.uniform(k_restart, pv.shape, jnp.float32)
+            pv = jnp.where(restart, fresh_v, pv)
+            ps = jnp.where(restart, jnp.full_like(ps, 0.1), ps)
+            pf = jnp.where(restart, jnp.full_like(pf, jnp.inf), pf)
+            stall = jnp.where(restart, 0, stall)
         return ESState(
             parent_values=pv,
             parent_steps=ps,
@@ -96,6 +106,7 @@ def sharded_generation_step(
             best_fitness=jnp.where(improved, pf[0], state.best_fitness),
             key=k_next,
             generation=state.generation + 1,
+            stall=stall,
         )
 
     spec = ESState(*(P() for _ in ESState._fields))  # replicated state pytree

@@ -168,3 +168,33 @@ class TestMatchAudio:
     def test_too_short_target_raises(self):
         with pytest.raises(ValueError):
             match_audio(np.zeros(10, np.float32), CFG2, num_generations=1)
+
+
+class TestRestarts:
+    def test_restart_reinitialises_parents_keeps_best(self):
+        cfg = CFG2.replace(restart_patience=2, num_offspring=16)
+        so = make_spectrum_ops(cfg)
+        # constant-zero target: fitness is constant-ish; improvement stops fast
+        tspec = jnp.zeros((so.num_bins,), jnp.float32)
+        state = init_state(jax.random.PRNGKey(21), cfg)
+        best_seen = None
+        saw_restart = False
+        for _ in range(10):
+            prev_steps = np.asarray(state.parent_steps)
+            state = generation_step(state, tspec, so, cfg)
+            if np.isinf(np.asarray(state.parent_fitness)).all():
+                saw_restart = True
+                np.testing.assert_allclose(np.asarray(state.parent_steps), 0.1)
+            if best_seen is not None:
+                assert float(state.best_fitness) <= best_seen + 1e-6
+            best_seen = float(state.best_fitness)
+        assert saw_restart
+        assert np.isfinite(best_seen)
+
+    def test_stall_counter_resets_on_improvement(self):
+        cfg = CFG2.replace(num_offspring=16)
+        so = make_spectrum_ops(cfg)
+        tspec = jnp.zeros((so.num_bins,), jnp.float32)
+        state = init_state(jax.random.PRNGKey(22), cfg)
+        state = generation_step(state, tspec, so, cfg)
+        assert int(state.stall) == 0  # first evaluation always improves inf
