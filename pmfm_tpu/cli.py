@@ -263,5 +263,17 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def run() -> int:
+    """Entry point with the reference's catch-all (main.cpp:282-288 prints
+    the exception; we also return a nonzero exit code instead of pausing)."""
+    try:
+        return main()
+    except KeyboardInterrupt:
+        return 130
+    except Exception as e:  # noqa: BLE001 — CLI boundary
+        print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
+        return 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(run())
