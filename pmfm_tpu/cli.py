@@ -45,9 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--audio-log2", type=int, default=None, help="override audioLengthLog2")
     p.add_argument("--checkpoint-dir", default=None, help="chunk-level checkpoint/resume dir")
     p.add_argument("--trajectory", action="store_true", help="record per-generation best fitness")
-    p.add_argument("--mode", choices=("chunks", "stft"), default="chunks",
-                   help="chunks: fresh population per chunk (reference semantics); "
-                        "stft: one ES scored over all frames")
+    p.add_argument("--mode", choices=("chunks", "stft", "parallel-chunks"),
+                   default="chunks",
+                   help="chunks: fresh population per chunk, sequential "
+                        "(reference semantics); stft: one ES scored over all "
+                        "frames; parallel-chunks: all chunk matches run "
+                        "concurrently in one device program (vmapped)")
     p.add_argument("--batch", nargs="+", default=None, metavar="WAV",
                    help="match several target WAVs concurrently (vmapped ES "
                         "runs); overrides the config's input")
@@ -209,6 +212,19 @@ def main(argv: list[str] | None = None) -> int:
             result = match_audio_stft(
                 target, cfg, key=args.seed, num_generations=num_generations,
                 record_trajectory=args.trajectory, mesh=mesh,
+            )
+        elif args.mode == "parallel-chunks":
+            from .es import match_many
+            from .es.pipeline import MatchResult
+
+            n = len(target) - len(target) % cfg.n_samples
+            chunks = np.asarray(target[:n], np.float32).reshape(-1, cfg.n_samples)
+            many = match_many(chunks, cfg, key=args.seed,
+                              num_generations=num_generations)
+            result = MatchResult(
+                chunks=[r.chunks[0] for r in many],
+                output_audio=np.concatenate([r.output_audio for r in many]),
+                config=cfg,
             )
         else:
             result = match_audio(

@@ -330,3 +330,31 @@ class TestDebugHarness:
         bad = checked_fitness(lambda x: x / 0.0 * 0.0)  # nan
         with pytest.raises(Exception):
             bad(jnp.asarray([1.0]))
+
+
+class TestParallelChunksMode:
+    def test_parallel_chunks_cli(self, tmp_path, capsys):
+        import json
+
+        from pmfm_tpu.cli import main
+
+        cfg = {
+            "general": {"isAudio": True,
+                        "outputAudioPath": str(tmp_path / "pc.wav"),
+                        "isBenchmarking": False, "isLog": False},
+            "audio": {"audioLengthLog2": 8},
+            "evolutionary": {"numParents": 8, "numOffspring": 8,
+                             "numDimensions": 4, "numGenerations": 3,
+                             "paramMins": [0] * 4,
+                             "paramMaxs": [3520.0, 8.0, 3520.0, 1.0]},
+            "type": {"input": "params", "params": [880, 2.0, 2500, 0.9]},
+        }
+        p = tmp_path / "c.json"
+        p.write_text(json.dumps(cfg))
+        rc = main(["-j", str(p), "--mode", "parallel-chunks", "--quiet",
+                   "--input-generated-path", str(tmp_path / "ig.wav")])
+        assert rc == 0
+        from pmfm_tpu.io import read_wav
+
+        audio, _ = read_wav(tmp_path / "pc.wav")
+        assert len(audio) == 2048  # 8 chunks of 256, concurrent
