@@ -35,8 +35,7 @@ TPU extension section (all optional)::
     "dftDtype": "float32",          # float32 | bfloat16
     "numBins": null,
     "meshShape": [8],               # population-sharding mesh (parallel/)
-    "meshAxisNames": ["pop"],
-    "donateState": true
+    "meshAxisNames": ["pop"]
   }
 """
 from __future__ import annotations
@@ -70,7 +69,6 @@ class RunConfig:
     # tpu extensions
     mesh_shape: tuple[int, ...] = ()
     mesh_axis_names: tuple[str, ...] = ("pop",)
-    donate_state: bool = True
 
 
 def _topology_for_dims(d: int) -> str:
@@ -152,5 +150,4 @@ def parse_config(j: dict[str, Any]) -> RunConfig:
         input_audio_path=typ.get("audio", "input_audio/input.wav"),
         mesh_shape=tuple(int(x) for x in tpu.get("meshShape", [])),
         mesh_axis_names=tuple(tpu.get("meshAxisNames", ["pop"])),
-        donate_state=bool(tpu.get("donateState", True)),
     )

@@ -65,7 +65,9 @@ def _gen_kernel(
 ):
     pb = statics["pb"]
     i = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0, 0] + i)
+    # golden-ratio stride decorrelates per-program streams (consecutive
+    # seeds may be correlated in counter-based PRNGs)
+    pltpu.prng_seed(seed_ref[0, 0] + i * 0x9E3779B9)
 
     pv = pv_ref[:]  # (D, MU)
     ps = ps_ref[:]

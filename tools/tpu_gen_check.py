@@ -5,6 +5,8 @@ import sys, time
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import numpy as np
 import jax, jax.numpy as jnp
+from pmfm_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
 from pmfm_tpu.es import ESConfig, init_state, make_spectrum_ops
 from pmfm_tpu.es.pipeline import generation_step
 from pmfm_tpu.kernels.generation import fused_generation
