@@ -65,9 +65,9 @@ def _gen_kernel(
 ):
     pb = statics["pb"]
     i = pl.program_id(0)
-    # golden-ratio stride decorrelates per-program streams (consecutive
-    # seeds may be correlated in counter-based PRNGs)
-    pltpu.prng_seed(seed_ref[0, 0] + i * 0x9E3779B9)
+    # large odd stride decorrelates per-program streams (consecutive seeds
+    # may be correlated in counter-based PRNGs); 31-bit to stay in int32
+    pltpu.prng_seed(seed_ref[0, 0] + i * 0x1E3779B9)
 
     pv = pv_ref[:]  # (D, MU)
     ps = ps_ref[:]
