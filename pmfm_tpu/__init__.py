@@ -10,6 +10,26 @@ population shardable across a TPU mesh.
 
 __version__ = "0.1.0"
 
-from . import ops
+from . import models, ops
+from .es import (
+    ESConfig,
+    MatchResult,
+    match_audio,
+    match_audio_stft,
+    match_many,
+)
+from .io import load_config, read_wav, write_wav
 
-__all__ = ["ops", "__version__"]
+__all__ = [
+    "ESConfig",
+    "MatchResult",
+    "__version__",
+    "load_config",
+    "match_audio",
+    "match_audio_stft",
+    "match_many",
+    "models",
+    "ops",
+    "read_wav",
+    "write_wav",
+]
