@@ -135,3 +135,35 @@ class TestFusedMultiFrame:
         c = res.chunks[0]
         assert np.all(np.diff(c.trajectory) <= 1e-6)
         assert np.isfinite(c.best_fitness)
+
+
+class TestEdgeCases:
+    def test_boundary_gene_values(self):
+        """Genes exactly at 0 and 1 (scaled params at range bounds) must give
+        finite fitness in the fused kernel."""
+        n = 256
+        so = ops.make_spectrum_ops(n, method="dft")
+        vals = np.zeros((8, 6), np.float32)
+        vals[1] = 1.0
+        vals[2] = [1.0, 0.0, 1.0, 0.0, 1.0, 0.0]
+        maxs = np.asarray([3520.0, 8.0, 3520.0, 8.0, 3520.0, 8.0], np.float32)
+        scaled = jnp.asarray(vals * maxs)
+        tgt = jnp.ones((so.num_bins,), jnp.float32)
+        fit = fused_synth_fitness(scaled, so.dft_cos, so.dft_sin, tgt,
+                                  topology="fm3_series", n=n, pop_block=8,
+                                  interpret=True)
+        assert np.isfinite(np.asarray(fit)).all()
+
+    def test_single_block_population(self):
+        """pop == pop_block (single grid program)."""
+        n = 256
+        so = ops.make_spectrum_ops(n, method="dft")
+        scaled = jnp.asarray(np.full((16, 4), 100.0, np.float32))
+        tgt = jnp.zeros((so.num_bins,), jnp.float32)
+        fit = fused_synth_fitness(scaled, so.dft_cos, so.dft_sin, tgt,
+                                  topology="fm2", n=n, pop_block=16,
+                                  interpret=True)
+        assert fit.shape == (16,)
+        # identical candidates -> identical fitness
+        f = np.asarray(fit)
+        np.testing.assert_allclose(f, f[0], rtol=1e-5)
