@@ -67,6 +67,7 @@ def main():
         mutation_noise="clt12",
         fused_kernel=True,
         fused_generation=True,  # whole generation in one Pallas kernel
+        pop_block=1024,
     )
     so = make_spectrum_ops(cfg)
     tspec = jnp.ones((so.num_bins,), jnp.float32)
