@@ -272,10 +272,14 @@ def match_many(
     cfg: ESConfig,
     key: jax.Array | int = 0,
     num_generations: int = 1000,
+    mesh: Any | None = None,
 ) -> list["MatchResult"]:
     """Batched multi-target matching (BASELINE.json config 5): B independent
     ES runs — one per target sound — execute concurrently in a single device
-    program via ``vmap`` over (key, target)."""
+    program via ``vmap`` over (key, target). With ``mesh``, each run's
+    population is additionally sharded over the device mesh (vmap composes
+    over the shard_map collectives) — the full "batched multi-target,
+    multi-host" shape."""
     if isinstance(key, int):
         key = jax.random.PRNGKey(key)
     targets = np.asarray(targets, np.float32)
@@ -285,7 +289,7 @@ def match_many(
     if frames == 0:
         raise ValueError("targets shorter than one frame")
     cfg = cfg.replace(num_frames=frames)
-    run = _compiled_stft_matcher(cfg, num_generations, False)
+    run = _compiled_stft_matcher(cfg, num_generations, False, mesh)
     keys = jax.random.split(key, targets.shape[0])
     t = jnp.asarray(targets[:, : frames * cfg.n_samples])
     finals, _, best_scaled, best_audio = jax.vmap(run)(keys, t)

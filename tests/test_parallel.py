@@ -126,3 +126,25 @@ class TestShardedFused:
         assert np.isfinite(np.asarray(out.parent_fitness)).all()
         pf = np.asarray(out.parent_fitness)
         assert np.all(np.diff(pf) >= 0)
+
+
+class TestBatchedSharded:
+    def test_match_many_with_mesh(self, mesh):
+        """BASELINE config 5 composition: vmapped multi-target matching with
+        each run's population sharded over the mesh."""
+        from pmfm_tpu.es import match_many
+        from pmfm_tpu.ops import synthesize_single
+
+        rng = np.random.default_rng(6)
+        maxs = np.asarray(CFG.param_maxs, np.float32)
+        targets = np.stack([
+            np.asarray(synthesize_single(
+                jnp.asarray(rng.uniform(0.2, 0.8, 4).astype(np.float32) * maxs),
+                CFG.n_samples, CFG.topology))
+            for _ in range(3)
+        ])
+        results = match_many(targets, CFG, key=7, num_generations=4, mesh=mesh)
+        assert len(results) == 3
+        fits = [r.chunks[0].best_fitness for r in results]
+        assert all(np.isfinite(f) for f in fits)
+        assert len({round(f, 6) for f in fits}) == 3
