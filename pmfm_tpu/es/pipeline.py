@@ -141,11 +141,21 @@ def evolve(
     step = partial(generation_step, target_spectrum=target_spectrum,
                    spectrum_ops=spectrum_ops, cfg=cfg)
     if cfg.fitness_threshold > 0.0 and not record_trajectory:
-        def cond(s):
-            return (s.generation < num_generations) & (
-                s.best_fitness > cfg.fitness_threshold
-            )
-        return jax.lax.while_loop(cond, step, state), None
+        # local iteration counter: num_generations is relative to the input
+        # state (matters when resuming from a checkpointed state whose
+        # .generation is already > 0)
+        def cond(carry):
+            s, i = carry
+            return (i < num_generations) & (s.best_fitness > cfg.fitness_threshold)
+
+        def body(carry):
+            s, i = carry
+            return step(s), i + 1
+
+        final, _ = jax.lax.while_loop(
+            cond, body, (state, jnp.asarray(0, jnp.int32))
+        )
+        return final, None
 
     def body(s, _):
         s = step(s)
@@ -411,3 +421,49 @@ def match_audio(
         output_audio=np.concatenate(out_audio),
         config=cfg,
     )
+
+
+def evolve_checkpointed(
+    state: ESState,
+    target_spectrum: jax.Array,
+    num_generations: int,
+    spectrum_ops: spectral.SpectrumOps,
+    cfg: ESConfig,
+    checkpoint_dir: str,
+    every: int = 100,
+    chunk_index: int = 0,
+    mesh: Any | None = None,
+) -> ESState:
+    """``evolve`` with a generation-granularity checkpoint every ``every``
+    generations (SURVEY.md §5.3: per-generation checkpointing is essentially
+    free because ES state is O(mu*D)). A rerun with the same config resumes
+    from the last saved segment.
+
+    Unlike ``match_audio``'s chunk-level resume, this protects long
+    single-chunk/STFT runs (thousands of generations) against preemption.
+    """
+    from ..utils.checkpoint import load_checkpoint, save_checkpoint
+
+    loaded = load_checkpoint(checkpoint_dir, cfg, tag=f"gen_chunk{chunk_index}")
+    if loaded is not None:
+        state = loaded[0]
+    start = int(state.generation)
+    if mesh is not None:
+        from ..parallel.sharded import evolve_sharded as _evolve
+
+        def seg(s, n):
+            return _evolve(s, target_spectrum, n, spectrum_ops, cfg, mesh)[0]
+    else:
+
+        def seg(s, n):
+            return evolve(s, target_spectrum, n, spectrum_ops, cfg)[0]
+
+    done = start
+    while done < num_generations:
+        n = min(every, num_generations - done)
+        state = seg(state, n)
+        jax.block_until_ready(state.best_fitness)
+        done += n
+        save_checkpoint(checkpoint_dir, state, cfg, chunk_index,
+                        tag=f"gen_chunk{chunk_index}")
+    return state

@@ -137,11 +137,21 @@ def evolve_sharded(
         mesh=mesh,
     )
     if cfg.fitness_threshold > 0.0 and not record_trajectory:
-        def cond(s):
-            return (s.generation < num_generations) & (
-                s.best_fitness > cfg.fitness_threshold
-            )
-        return jax.lax.while_loop(cond, step, state), None
+        # local iteration counter: num_generations is relative to the input
+        # state (matters when resuming from a checkpointed state whose
+        # .generation is already > 0)
+        def cond(carry):
+            s, i = carry
+            return (i < num_generations) & (s.best_fitness > cfg.fitness_threshold)
+
+        def body(carry):
+            s, i = carry
+            return step(s), i + 1
+
+        final, _ = jax.lax.while_loop(
+            cond, body, (state, jnp.asarray(0, jnp.int32))
+        )
+        return final, None
 
     def body(s, _):
         s = step(s)

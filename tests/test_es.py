@@ -198,3 +198,27 @@ class TestRestarts:
         state = init_state(jax.random.PRNGKey(22), cfg)
         state = generation_step(state, tspec, so, cfg)
         assert int(state.stall) == 0  # first evaluation always improves inf
+
+
+class TestGenerationCheckpointing:
+    def test_evolve_checkpointed_resumes(self, tmp_path):
+        from pmfm_tpu.es.pipeline import evolve_checkpointed
+
+        cfg = CFG2.replace(num_offspring=16)
+        so = make_spectrum_ops(cfg)
+        tspec = jnp.ones((so.num_bins,), jnp.float32)
+        s0 = init_state(jax.random.PRNGKey(31), cfg)
+
+        # run 6 generations in segments of 2, checkpointing each segment
+        final = evolve_checkpointed(s0, tspec, 6, so, cfg, str(tmp_path), every=2)
+        assert int(final.generation) == 6
+
+        # "preempted" rerun starts from the checkpoint, not from scratch:
+        # ask for 8 generations; only 2 more run on top of the saved 6
+        final2 = evolve_checkpointed(s0, tspec, 8, so, cfg, str(tmp_path), every=2)
+        assert int(final2.generation) == 8
+        assert float(final2.best_fitness) <= float(final.best_fitness) + 1e-6
+
+        # a no-op rerun (target already reached) returns the saved state
+        final3 = evolve_checkpointed(s0, tspec, 8, so, cfg, str(tmp_path), every=2)
+        assert int(final3.generation) == 8
