@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--offspring", type=int, default=None, help="override numOffspring")
     p.add_argument("--audio-log2", type=int, default=None, help="override audioLengthLog2")
     p.add_argument("--checkpoint-dir", default=None, help="chunk-level checkpoint/resume dir")
+    p.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
+                   help="stft mode: also checkpoint the ES state every N "
+                        "generations (resumable mid-run)")
     p.add_argument("--trajectory", action="store_true", help="record per-generation best fitness")
     p.add_argument("--mode", choices=("chunks", "stft", "parallel-chunks"),
                    default="chunks",
@@ -209,10 +212,53 @@ def main(argv: list[str] | None = None) -> int:
     start = time.perf_counter()
     with maybe_trace(args.profile_dir), debug_ctx:
         if args.mode == "stft":
-            result = match_audio_stft(
-                target, cfg, key=args.seed, num_generations=num_generations,
-                record_trajectory=args.trajectory, mesh=mesh,
-            )
+            if args.checkpoint_dir and args.checkpoint_every > 0:
+                import jax.numpy as jnp
+
+                from .es import init_state, make_spectrum_ops
+                from .es.pipeline import ChunkResult, MatchResult, evolve_checkpointed
+                from .ops import scale_params as _scale, target_spectrum as _tspec
+                from .ops.spectral import target_spectrum_frames
+
+                frames = len(target) // cfg.n_samples
+                scfg = cfg.replace(num_frames=frames)
+                so = make_spectrum_ops(scfg)
+                t = jnp.asarray(target[: frames * cfg.n_samples], jnp.float32)
+                tf = target_spectrum_frames(t, so)
+                if frames == 1:
+                    tf = tf[0]
+                st = init_state(jax.random.PRNGKey(args.seed), scfg)
+                final = evolve_checkpointed(
+                    st, tf, num_generations, so, scfg, args.checkpoint_dir,
+                    every=args.checkpoint_every, mesh=mesh,
+                )
+                import jax.numpy as _jnp
+
+                best_scaled = np.asarray(final.best_values) * (
+                    np.asarray(scfg.param_maxs) - np.asarray(scfg.param_mins)
+                ) + np.asarray(scfg.param_mins)
+                best_audio = np.asarray(
+                    synthesize_single(
+                        _jnp.asarray(best_scaled), scfg.n_samples * frames,
+                        scfg.topology, engine=scfg.synthesis_engine,
+                    )
+                )
+                result = MatchResult(
+                    chunks=[ChunkResult(
+                        best_params_scaled=best_scaled.astype(np.float32),
+                        best_params_norm=np.asarray(final.best_values),
+                        best_fitness=float(final.best_fitness),
+                        generations_run=int(final.generation),
+                        trajectory=None,
+                    )],
+                    output_audio=best_audio,
+                    config=scfg,
+                )
+            else:
+                result = match_audio_stft(
+                    target, cfg, key=args.seed, num_generations=num_generations,
+                    record_trajectory=args.trajectory, mesh=mesh,
+                )
         elif args.mode == "parallel-chunks":
             from .es import match_many
             from .es.pipeline import MatchResult

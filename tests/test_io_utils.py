@@ -358,3 +358,29 @@ class TestParallelChunksMode:
 
         audio, _ = read_wav(tmp_path / "pc.wav")
         assert len(audio) == 2048  # 8 chunks of 256, concurrent
+
+
+class TestCLICheckpointEvery:
+    def test_stft_checkpoint_every(self, tmp_path, capsys):
+        import json
+
+        from pmfm_tpu.cli import main
+
+        cfg = {
+            "general": {"isAudio": False, "isBenchmarking": False, "isLog": False},
+            "audio": {"audioLengthLog2": 8},
+            "evolutionary": {"numParents": 8, "numOffspring": 8,
+                             "numDimensions": 4, "numGenerations": 4,
+                             "paramMins": [0] * 4,
+                             "paramMaxs": [3520.0, 8.0, 3520.0, 1.0]},
+            "type": {"input": "params", "params": [880, 2.0, 2500, 0.9]},
+        }
+        p = tmp_path / "c.json"
+        p.write_text(json.dumps(cfg))
+        ck = tmp_path / "ck"
+        rc = main(["-j", str(p), "--mode", "stft", "--checkpoint-dir", str(ck),
+                   "--checkpoint-every", "2", "--quiet",
+                   "--input-generated-path", str(tmp_path / "ig.wav")])
+        assert rc == 0
+        assert list(ck.glob("gen_chunk0.npz"))
+        out = capsys.readouterr().out
