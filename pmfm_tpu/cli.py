@@ -212,53 +212,12 @@ def main(argv: list[str] | None = None) -> int:
     start = time.perf_counter()
     with maybe_trace(args.profile_dir), debug_ctx:
         if args.mode == "stft":
-            if args.checkpoint_dir and args.checkpoint_every > 0:
-                import jax.numpy as jnp
-
-                from .es import init_state, make_spectrum_ops
-                from .es.pipeline import ChunkResult, MatchResult, evolve_checkpointed
-                from .ops import scale_params as _scale, target_spectrum as _tspec
-                from .ops.spectral import target_spectrum_frames
-
-                frames = len(target) // cfg.n_samples
-                scfg = cfg.replace(num_frames=frames)
-                so = make_spectrum_ops(scfg)
-                t = jnp.asarray(target[: frames * cfg.n_samples], jnp.float32)
-                tf = target_spectrum_frames(t, so)
-                if frames == 1:
-                    tf = tf[0]
-                st = init_state(jax.random.PRNGKey(args.seed), scfg)
-                final = evolve_checkpointed(
-                    st, tf, num_generations, so, scfg, args.checkpoint_dir,
-                    every=args.checkpoint_every, mesh=mesh,
-                )
-                import jax.numpy as _jnp
-
-                best_scaled = np.asarray(final.best_values) * (
-                    np.asarray(scfg.param_maxs) - np.asarray(scfg.param_mins)
-                ) + np.asarray(scfg.param_mins)
-                best_audio = np.asarray(
-                    synthesize_single(
-                        _jnp.asarray(best_scaled), scfg.n_samples * frames,
-                        scfg.topology, engine=scfg.synthesis_engine,
-                    )
-                )
-                result = MatchResult(
-                    chunks=[ChunkResult(
-                        best_params_scaled=best_scaled.astype(np.float32),
-                        best_params_norm=np.asarray(final.best_values),
-                        best_fitness=float(final.best_fitness),
-                        generations_run=int(final.generation),
-                        trajectory=None,
-                    )],
-                    output_audio=best_audio,
-                    config=scfg,
-                )
-            else:
-                result = match_audio_stft(
-                    target, cfg, key=args.seed, num_generations=num_generations,
-                    record_trajectory=args.trajectory, mesh=mesh,
-                )
+            result = match_audio_stft(
+                target, cfg, key=args.seed, num_generations=num_generations,
+                record_trajectory=args.trajectory, mesh=mesh,
+                checkpoint_dir=args.checkpoint_dir,
+                checkpoint_every=args.checkpoint_every,
+            )
         elif args.mode == "parallel-chunks":
             from .es import match_many
             from .es.pipeline import MatchResult

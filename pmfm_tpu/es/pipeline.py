@@ -251,21 +251,47 @@ def match_audio_stft(
     num_generations: int = 1000,
     record_trajectory: bool = False,
     mesh: Any | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
 ) -> MatchResult:
     """Match one parameter set against ALL frames of the target at once
     (multi-frame STFT fitness, BASELINE.json config 2) — contrast with
-    ``match_audio``'s reference-style fresh-population-per-chunk loop."""
+    ``match_audio``'s reference-style fresh-population-per-chunk loop.
+
+    With ``checkpoint_dir`` + ``checkpoint_every`` the evolve is segmented
+    and resumable at generation granularity (evolve_checkpointed)."""
     if isinstance(key, int):
         key = jax.random.PRNGKey(key)
     frames = len(target_audio) // cfg.n_samples
     if frames == 0:
         raise ValueError("target shorter than one frame")
     cfg = cfg.replace(num_frames=frames)
-    run = _compiled_stft_matcher(cfg, num_generations, record_trajectory, mesh)
     frame_audio = jnp.asarray(
         target_audio[: frames * cfg.n_samples], jnp.float32
     )
-    final, traj, best_scaled, best_audio = run(key, frame_audio)
+    if checkpoint_dir is not None and checkpoint_every > 0:
+        so = make_spectrum_ops(cfg)
+        tframes = spectral.target_spectrum_frames(frame_audio, so)
+        if cfg.num_frames == 1:
+            tframes = tframes[0]
+        state = init_state(key, cfg)
+        final = evolve_checkpointed(
+            state, tframes, num_generations, so, cfg, checkpoint_dir,
+            every=checkpoint_every, mesh=mesh,
+        )
+        traj = None
+        mins = jnp.asarray(cfg.param_mins, jnp.float32)
+        maxs = jnp.asarray(cfg.param_maxs, jnp.float32)
+        best_scaled = synthesis.scale_params(final.best_values, mins, maxs)
+        best_audio = synthesis.synthesize(
+            best_scaled[None, :], cfg.n_samples * cfg.num_frames, cfg.topology,
+            wavetable_size=cfg.wavetable_size, sample_rate=cfg.sample_rate,
+            osc_mode=cfg.osc_mode, unroll=cfg.scan_unroll,
+            engine=cfg.synthesis_engine,
+        )[:, 0]
+    else:
+        run = _compiled_stft_matcher(cfg, num_generations, record_trajectory, mesh)
+        final, traj, best_scaled, best_audio = run(key, frame_audio)
     jax.block_until_ready(best_audio)
     result = ChunkResult(
         best_params_scaled=np.asarray(best_scaled),
