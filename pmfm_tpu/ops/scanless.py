@@ -13,9 +13,14 @@ phase is an exclusive prefix sum of the previous oscillator's output,
 so the whole synthesis is 2-3 rounds of (elementwise sine -> cumsum along
 time), each fully parallel across time *and* population. On TPU the cumsum
 is computed as a two-level blocked prefix sum whose inner step is a
-(C x C) lower-triangular matmul on the MXU — no serial scan remains, which
-removes the per-step loop overhead that dominates the scan engine
-(~13ms/gen at pop 2^15, N=1024; see git history).
+(C x C) lower-triangular matmul on the MXU — no serial scan remains.
+
+As a standalone XLA computation this matches the scan engine's speed
+(both ~5.5ms at pop 2^15, N=1024: HBM traffic of the (N, pop)
+intermediates dominates either way); its real payoff is that the
+formulation maps into the fused Pallas kernel (kernels/synth_fitness.py)
+where the intermediates never leave VMEM and the whole evaluate drops to
+~1ms.
 
 Because a phase only matters modulo the oscillator period, every
 contribution is reduced mod ``wavetable_size`` *before* summation (mod is a

@@ -222,3 +222,29 @@ class TestGenerationCheckpointing:
         # a no-op rerun (target already reached) returns the saved state
         final3 = evolve_checkpointed(s0, tspec, 8, so, cfg, str(tmp_path), every=2)
         assert int(final3.generation) == 8
+
+
+class TestCompatMode:
+    def test_full_reference_parity_configuration(self):
+        """All quirk-compat knobs at once: deterministic workgroup-shuffle
+        recombination, CPU clamp, reference CLT noise, scan+floor synthesis,
+        rfft spectra — the closest-to-reference configuration must run and
+        improve end to end."""
+        cfg = ESConfig(
+            num_parents=32, num_offspring=32, num_dimensions=4,
+            topology="fm2", param_mins=(0.0,) * 4,
+            param_maxs=(3520.0, 8.0, 3520.0, 1.0), audio_length_log2=8,
+            synthesis_engine="scan", osc_mode="floor",
+            spectrum_method="rfft", recombine_mode="compat_shuffle",
+            workgroup_size=32, mutation_noise="clt12", clamp_values=True,
+        )
+        true = np.asarray([880.0, 2.0, 2500.0, 0.9], np.float32)
+        tgt = np.asarray(
+            synthesize_single(jnp.asarray(true), cfg.n_samples, cfg.topology,
+                              osc_mode="floor")
+        )
+        res = match_audio(tgt, cfg, key=2, num_generations=15,
+                          record_trajectory=True)
+        c = res.chunks[0]
+        assert np.all(np.diff(c.trajectory) <= 1e-6)
+        assert c.best_fitness < c.trajectory[0]
