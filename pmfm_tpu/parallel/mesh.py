@@ -16,6 +16,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 POP_AXIS = "pop"
+FRAME_AXIS = "frame"  # optional second axis: STFT-frame sharding (SURVEY §5.7)
 
 
 def make_mesh(

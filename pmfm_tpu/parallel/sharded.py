@@ -31,8 +31,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..es.config import ESConfig
 from ..es.strategy import ESState, evaluate, mutate, recombine, select
-from ..ops import spectral
-from .mesh import POP_AXIS
+from ..ops import spectral, synthesis
+from .mesh import FRAME_AXIS, POP_AXIS
 
 
 def _local_cfg(cfg: ESConfig, n_shards: int) -> ESConfig:
@@ -48,6 +48,51 @@ def _local_cfg(cfg: ESConfig, n_shards: int) -> ESConfig:
         )
     # keep mu unchanged; only the per-shard offspring count shrinks
     return cfg.replace(num_offspring=local_pop - cfg.num_parents)
+
+
+def _evaluate_frames_local(
+    values: jax.Array,
+    target_frames: jax.Array,  # (F, bins) replicated
+    spectrum_ops: spectral.SpectrumOps,
+    cfg: ESConfig,
+    frames_local: int,
+) -> jax.Array:
+    """Partial fitness over this device's STFT-frame window.
+
+    Frame-axis sharding (SURVEY.md §5.7): the synthesis phase recurrence is
+    sequential across frames, so every frame-shard synthesises the candidate's
+    FULL ``F*N`` waveform; only the windowed DFT + L2 error — the dominant
+    cost for long targets (O(F*N*K) MXU work vs O(F*N) VPU synthesis) — is
+    restricted to the local ``F/n_shards`` frame window. Summing the partials
+    with ``psum`` over the frame axis reproduces the unsharded multi-frame
+    fitness exactly (modulo float reassociation).
+
+    The fused Pallas kernel is not used on this path: under SPMD every device
+    runs the same program and the kernel's frame loop is unrolled at trace
+    time, so a per-device frame window cannot be folded into it without
+    predicating each DFT matmul — the XLA engines handle the dynamic slice
+    natively.
+    """
+    mins = jnp.asarray(cfg.param_mins, jnp.float32)
+    maxs = jnp.asarray(cfg.param_maxs, jnp.float32)
+    scaled = synthesis.scale_params(values, mins, maxs)
+    audio = synthesis.synthesize(
+        scaled,
+        cfg.n_samples * cfg.num_frames,
+        cfg.topology,
+        wavetable_size=cfg.wavetable_size,
+        sample_rate=cfg.sample_rate,
+        osc_mode=cfg.osc_mode,
+        unroll=cfg.scan_unroll,
+        engine=cfg.synthesis_engine,
+        out_dtype=jnp.bfloat16 if cfg.dft_dtype == "bfloat16" else jnp.float32,
+    )  # (F*N, pop_local)
+    f0 = jax.lax.axis_index(FRAME_AXIS) * frames_local
+    a = audio.reshape(cfg.num_frames, cfg.n_samples, audio.shape[-1])
+    local = jax.lax.dynamic_slice_in_dim(a, f0, frames_local, axis=0)
+    local = local.reshape(frames_local * cfg.n_samples, audio.shape[-1])
+    tgt_local = jax.lax.dynamic_slice_in_dim(target_frames, f0, frames_local, axis=0)
+    return spectral.stft_fitness(local, tgt_local, spectrum_ops)
 
 
 def sharded_generation_step(
@@ -66,6 +111,18 @@ def sharded_generation_step(
     n_shards = int(mesh.shape[POP_AXIS])
     lcfg = _local_cfg(cfg, n_shards)
     mu = cfg.num_parents
+    n_frame_shards = (
+        int(mesh.shape[FRAME_AXIS]) if FRAME_AXIS in mesh.axis_names else 1
+    )
+    if n_frame_shards > 1:
+        if cfg.num_frames % n_frame_shards:
+            raise ValueError(
+                f"num_frames {cfg.num_frames} not divisible by frame-axis "
+                f"size {n_frame_shards}"
+            )
+        frames_local = cfg.num_frames // n_frame_shards
+    else:
+        frames_local = cfg.num_frames
 
     def step(state: ESState) -> ESState:
         ax = jax.lax.axis_index(POP_AXIS)
@@ -75,7 +132,18 @@ def sharded_generation_step(
 
         values, steps = recombine(k_rec, state.parent_values, state.parent_steps, lcfg)
         values, steps = mutate(k_mut, values, steps, lcfg)
-        fitness = evaluate(values, target_spectrum, spectrum_ops, lcfg)
+        if n_frame_shards > 1:
+            # the key folds in only the pop index, so every frame-shard of a
+            # pop shard generates identical offspring; each scores its own
+            # frame window and the psum reassembles the full fitness
+            fitness = jax.lax.psum(
+                _evaluate_frames_local(
+                    values, target_spectrum, spectrum_ops, lcfg, frames_local
+                ),
+                FRAME_AXIS,
+            )
+        else:
+            fitness = evaluate(values, target_spectrum, spectrum_ops, lcfg)
 
         # local truncation, then O(mu) all-gather + replicated merge
         lv, ls, lf = select(values, steps, fitness, mu)

@@ -128,6 +128,73 @@ class TestShardedFused:
         assert np.all(np.diff(pf) >= 0)
 
 
+class TestFrameSharded:
+    """Frame-axis sharding (SURVEY.md §5.7): DFT+fitness sharded over STFT
+    frames, synthesis replicated, psum over the frame axis."""
+
+    FCFG = CFG.replace(
+        audio_length_log2=8, num_frames=4,
+        num_parents=8, num_offspring=24,  # population 32 -> 8 per pop shard
+    )
+
+    def _target_frames(self):
+        so = make_spectrum_ops(self.FCFG)
+        mins = jnp.asarray(self.FCFG.param_mins)
+        maxs = jnp.asarray(self.FCFG.param_maxs)
+        true_norm = jnp.asarray([0.25, 0.25, 0.5, 0.9], jnp.float32)
+        audio = synthesize_single(
+            scale_params(true_norm, mins, maxs),
+            self.FCFG.n_samples * self.FCFG.num_frames, self.FCFG.topology,
+        )
+        from pmfm_tpu.ops.spectral import target_spectrum_frames
+
+        return target_spectrum_frames(audio, so)  # (F, bins)
+
+    def test_matches_pop_only_sharding(self):
+        """(4 pop x 2 frame) must reproduce the (4 pop)-only result: same pop
+        sharding -> identical offspring; the frame psum reassembles the same
+        fitness (modulo float reassociation)."""
+        so = make_spectrum_ops(self.FCFG)
+        tframes = self._target_frames()
+        state = init_state(jax.random.PRNGKey(5), self.FCFG)
+        mesh_pf = make_mesh(shape=(4, 2), axis_names=("pop", "frame"))
+        mesh_p = make_mesh(shape=(4,), devices=jax.devices()[:4])
+        out_pf = sharded_generation_step(state, tframes, so, self.FCFG, mesh_pf)
+        out_p = sharded_generation_step(state, tframes, so, self.FCFG, mesh_p)
+        np.testing.assert_allclose(
+            np.asarray(out_pf.parent_fitness),
+            np.asarray(out_p.parent_fitness),
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_pf.parent_values),
+            np.asarray(out_p.parent_values),
+            rtol=1e-6,
+        )
+
+    def test_evolve_frame_sharded(self):
+        so = make_spectrum_ops(self.FCFG)
+        tframes = self._target_frames()
+        state = init_state(jax.random.PRNGKey(6), self.FCFG)
+        mesh_pf = make_mesh(shape=(2, 4), axis_names=("pop", "frame"))
+        final, traj = evolve_sharded(
+            state, tframes, 5, so, self.FCFG, mesh_pf, record_trajectory=True
+        )
+        t = np.asarray(traj)
+        assert t.shape == (5,)
+        assert np.all(np.diff(t) <= 1e-6)
+        assert np.isfinite(t[-1])
+
+    def test_frames_not_divisible_raises(self):
+        so = make_spectrum_ops(self.FCFG)
+        cfg = self.FCFG.replace(num_frames=3)
+        tframes = self._target_frames()[:3]
+        state = init_state(jax.random.PRNGKey(7), cfg)
+        mesh_pf = make_mesh(shape=(4, 2), axis_names=("pop", "frame"))
+        with pytest.raises(ValueError):
+            sharded_generation_step(state, tframes, so, cfg, mesh_pf)
+
+
 class TestBatchedSharded:
     def test_match_many_with_mesh(self, mesh):
         """BASELINE config 5 composition: vmapped multi-target matching with
