@@ -225,7 +225,7 @@ def fused_generation(
         kwargs["interpret"] = pltpu.InterpretParams(random_seed=1234)
     else:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
         )
     full = lambda *_: (0, 0)  # noqa: E731
     fitness, values_t, steps_t = pl.pallas_call(

@@ -300,7 +300,7 @@ def fused_synth_fitness(
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
         )
     out = pl.pallas_call(
         kernel,

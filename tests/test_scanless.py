@@ -103,6 +103,47 @@ class TestScanlessEngine:
         assert out.shape == (256, 5)
 
 
+@pytest.mark.parametrize("topology", list(PARAMS))
+class TestEngineRankAgreement:
+    """The ES only consumes fitness ORDER, so the engines are interchangeable
+    iff they rank candidates identically. Tighter than the 5e-2 spectral bound
+    (which absorbs the wavetable period rescale): for a spread-out population
+    the scan (reference-semantics) and scanless (prefix-sum) engines must
+    produce the same fitness ranking, including for fm3_parallel."""
+
+    def test_rankings_match(self, topology):
+        n = 512
+        pop = 16
+        d = PARAMS[topology].size
+        rng = np.random.default_rng(42)
+        maxs = np.asarray(PARAM_MAXS_RANK[topology], np.float32)
+        scaled = (rng.uniform(0.1, 0.9, (pop, d)).astype(np.float32)) * maxs
+        so = ops.make_spectrum_ops(n, method="dft")
+        tgt_audio = ops.synthesize(
+            jnp.asarray(scaled[:1]), n, topology, engine="scanless"
+        )
+        tgt = ops.magnitude_spectrum(tgt_audio, so)[0]
+        fits = {}
+        for engine in ("scan", "scanless"):
+            audio = ops.synthesize(
+                jnp.asarray(scaled), n, topology, engine=engine,
+                osc_mode="exact" if engine == "scan" else "floor",
+            )
+            fits[engine] = np.asarray(ops.evaluate_fitness(audio, tgt, so))
+        # the planted target candidate must win under both engines, and the
+        # full ranking must agree for a well-separated random population
+        assert np.argmin(fits["scan"]) == 0
+        assert np.argmin(fits["scanless"]) == 0
+        assert list(np.argsort(fits["scan"])) == list(np.argsort(fits["scanless"]))
+
+
+PARAM_MAXS_RANK = {
+    "fm2": [3520.0, 8.0, 3520.0, 1.0],
+    "fm3_series": [3520.0, 8.0, 3520.0, 8.0, 3520.0, 8.0],
+    "fm3_parallel": [3520.0, 8.0, 3520.0, 1.0] * 3,
+}
+
+
 class TestScanlessInPipeline:
     def test_match_audio_scanless(self):
         from pmfm_tpu.es import ESConfig, match_audio
