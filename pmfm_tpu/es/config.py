@@ -49,6 +49,12 @@ class ESConfig:
     # engine knobs (new, TPU-native)
     fused_kernel: bool = False  # Pallas fused synth+DFT+fitness (kernels/)
     fused_generation: bool = False  # whole generation in one kernel (in-kernel PRNG)
+    # ALL generations in one kernel invocation (kernels/evolve.py) — opt-in:
+    # measured speed-equal to the per-generation scan at the bench config
+    # (the per-grid-step VMEM buffer setup costs what the scan's per-call
+    # overhead did), and the scan path additionally supports restarts,
+    # early stop and mesh sharding
+    fused_evolve: bool = False
     pop_block: int = 512  # candidates per fused-kernel program
     synthesis_engine: str = "scan"  # "scan" (reference parity) | "scanless" (fast)
     osc_mode: str = "floor"  # "floor" | "exact" | "table" (scan engine only)

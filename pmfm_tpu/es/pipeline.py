@@ -89,6 +89,7 @@ def generation_step(
             root_two_over_pi=cfg.root_two_over_pi,
             clamp_values=cfg.clamp_values,
             min_step=cfg.min_step,
+            dft_packed=spectrum_ops.dft_packed,
         )
     else:
         key, k_rec, k_mut = jax.random.split(state.key, 3)
@@ -119,6 +120,89 @@ def generation_step(
     )
 
 
+def _fused_evolve_ok(cfg: ESConfig, spectrum_ops) -> bool:
+    """Whether the whole-run mega-kernel (kernels/evolve.py) applies."""
+    from .strategy import _fused_ok
+
+    return (
+        cfg.fused_evolve
+        and cfg.fused_generation
+        and _fused_ok(cfg, spectrum_ops)
+        and cfg.gauss_sigma == 1.0 / 6.0
+        and cfg.restart_patience == 0
+        and cfg.fitness_threshold <= 0.0
+        and jax.default_backend() != "cpu"
+    )
+
+
+def _evolve_mega(
+    state: ESState,
+    target_spectrum: jax.Array,
+    num_generations: int,
+    spectrum_ops: spectral.SpectrumOps,
+    cfg: ESConfig,
+    record_trajectory: bool,
+    interpret: bool = False,
+):
+    """evolve() via the whole-run kernel: one pallas invocation for ALL
+    generations (kernels/evolve.py — per-invocation VMEM cost paid once)."""
+    from ..kernels.evolve import fused_evolve
+
+    key, k_seed = jax.random.split(state.key)
+    seed = jax.random.randint(k_seed, (), 0, 2**31 - 1)
+    pb = cfg.pop_block
+    while cfg.population_size % pb:
+        pb //= 2
+    pv, ps, pf, bv, bf, traj = fused_evolve(
+        seed,
+        state.parent_values,
+        state.parent_steps,
+        state.best_values,
+        state.best_fitness,
+        spectrum_ops.dft_packed,
+        target_spectrum,
+        gens=num_generations,
+        pop=cfg.population_size,
+        param_mins=cfg.param_mins,
+        param_maxs=cfg.param_maxs,
+        topology=cfg.topology,
+        n=cfg.n_samples,
+        wavetable_size=cfg.wavetable_size,
+        sample_rate=cfg.sample_rate,
+        pop_block=pb,
+        interpret=interpret,
+        num_frames=cfg.num_frames,
+        alpha=cfg.alpha,
+        beta=cfg.beta,
+        beta_scale=cfg.beta_scale,
+        root_two_over_pi=cfg.root_two_over_pi,
+        clamp_values=cfg.clamp_values,
+        min_step=cfg.min_step,
+    )
+    # stall = generations since the best improved, recovered from the
+    # best-ever trajectory the kernel always emits
+    prev = jnp.concatenate([state.best_fitness[None], traj[:-1]])
+    improved = traj < prev
+    idx = jnp.arange(num_generations)
+    last = jnp.max(jnp.where(improved, idx, -1))
+    stall = jnp.where(
+        last < 0,
+        state.stall + num_generations,
+        num_generations - 1 - last,
+    ).astype(jnp.int32)
+    final = ESState(
+        parent_values=pv,
+        parent_steps=ps,
+        parent_fitness=pf,
+        best_values=bv,
+        best_fitness=bf,
+        key=key,
+        generation=state.generation + num_generations,
+        stall=stall,
+    )
+    return final, (traj if record_trajectory else None)
+
+
 def evolve(
     state: ESState,
     target_spectrum: jax.Array,
@@ -138,6 +222,11 @@ def evolve(
     Returns ``(final_state, trajectory)`` where trajectory is
     ``(best_fitness_per_gen,)`` or ``None``.
     """
+    if _fused_evolve_ok(cfg, spectrum_ops):
+        return _evolve_mega(
+            state, target_spectrum, num_generations, spectrum_ops, cfg,
+            record_trajectory,
+        )
     step = partial(generation_step, target_spectrum=target_spectrum,
                    spectrum_ops=spectrum_ops, cfg=cfg)
     if cfg.fitness_threshold > 0.0 and not record_trajectory:

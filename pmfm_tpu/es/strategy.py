@@ -271,6 +271,7 @@ def evaluate(
             pop_block=pb,
             interpret=_jax.default_backend() == "cpu",
             num_frames=cfg.num_frames,
+            dft_packed=spectrum_ops.dft_packed,
         )
     audio = synthesis.synthesize(
         scaled,

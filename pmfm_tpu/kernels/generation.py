@@ -41,36 +41,22 @@ def _uniform01(shape):
     return u24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
-def _gen_kernel(
-    seed_ref,  # (1, 1) int32 SMEM
-    pv_ref,  # (D, MU) f32 parent values (transposed: no in-kernel transpose)
-    ps_ref,  # (D, MU) f32 parent steps
-    dft_ref,  # (2K, N) bf16
-    target_ref,  # (K, F) f32
-    tri_ref,  # (C, C) f32
-    fitness_ref,  # (G, PB) f32 out
-    values_ref,  # (D, P) f32 out — offspring values (transposed)
-    steps_ref,  # (D, P) f32 out
-    audio_scratch,  # (N, PB) bf16 — one frame of candidate audio
+def _offspring_block(
+    pv,  # (D, MU) f32 parent values
+    ps,  # (D, MU) f32 parent steps
     *,
     mu: int,
     d: int,
+    pb: int,
     alpha: float,
     beta: float,
     beta_scale: float,
     root_two_over_pi: float,
     clamp_values: bool,
     min_step: float,
-    **statics,
 ):
-    pb = statics["pb"]
-    i = pl.program_id(0)
-    # large odd stride decorrelates per-program streams (consecutive seeds
-    # may be correlated in counter-based PRNGs); 31-bit to stay in int32
-    pltpu.prng_seed(seed_ref[0, 0] + i * 0x1E3779B9)
-
-    pv = pv_ref[:]  # (D, MU)
-    ps = ps_ref[:]
+    """Recombine + mutate one population block from the on-core PRNG stream
+    (caller seeds). Returns ``(new_x, new_s)``, each ``(D, PB)`` f32."""
     m_iota = jax.lax.broadcasted_iota(jnp.int32, (mu, pb), 0)
 
     # --- recombine: per-(dim, lane) uniform random parent ------------------
@@ -117,16 +103,13 @@ def _gen_kernel(
     new_s = s * (ek ** jnp.float32(beta)) * (es ** jnp.float32(beta_scale))
     if min_step > 0.0:
         new_s = jnp.maximum(new_s, jnp.float32(min_step))
+    return new_x, new_s
 
-    values_ref[:, pl.ds(i * pb, pb)] = new_x
-    steps_ref[:, pl.ds(i * pb, pb)] = new_s
 
-    # --- scale + evaluate --------------------------------------------------
-    # per-dim python-float constants (pallas kernels cannot capture vector
-    # constants; scalars are fine)
-    mins = statics.pop("mins")
-    maxs = statics.pop("maxs")
-    p_scaled = jnp.concatenate(
+def _scale_rows(new_x, mins, maxs, d):
+    """Normalised genes -> scaled params, per-dim python-float constants
+    (pallas kernels cannot capture vector constants; scalars are fine)."""
+    return jnp.concatenate(
         [
             jnp.float32(mins[dim])
             + new_x[dim : dim + 1, :] * jnp.float32(maxs[dim] - mins[dim])
@@ -134,6 +117,48 @@ def _gen_kernel(
         ],
         axis=0,
     )
+
+
+def _gen_kernel(
+    seed_ref,  # (1, 1) int32 SMEM
+    pv_ref,  # (D, MU) f32 parent values (transposed: no in-kernel transpose)
+    ps_ref,  # (D, MU) f32 parent steps
+    dft_ref,  # (2K, N) bf16
+    target_ref,  # (K, F) f32
+    tri_ref,  # (C+8, C) f32 (prefix rows + ones row)
+    fitness_ref,  # (G, PB) f32 out
+    values_ref,  # (D, P) f32 out — offspring values (transposed)
+    steps_ref,  # (D, P) f32 out
+    audio_scratch,  # (N, PB) bf16 — one frame of candidate audio
+    *,
+    mu: int,
+    d: int,
+    alpha: float,
+    beta: float,
+    beta_scale: float,
+    root_two_over_pi: float,
+    clamp_values: bool,
+    min_step: float,
+    **statics,
+):
+    pb = statics["pb"]
+    i = pl.program_id(0)
+    # large odd stride decorrelates per-program streams (consecutive seeds
+    # may be correlated in counter-based PRNGs); 31-bit to stay in int32
+    pltpu.prng_seed(seed_ref[0, 0] + i * 0x1E3779B9)
+
+    new_x, new_s = _offspring_block(
+        pv_ref[:], ps_ref[:],
+        mu=mu, d=d, pb=pb, alpha=alpha, beta=beta, beta_scale=beta_scale,
+        root_two_over_pi=root_two_over_pi, clamp_values=clamp_values,
+        min_step=min_step,
+    )
+    values_ref[:, pl.ds(i * pb, pb)] = new_x
+    steps_ref[:, pl.ds(i * pb, pb)] = new_s
+
+    mins = statics.pop("mins")
+    maxs = statics.pop("maxs")
+    p_scaled = _scale_rows(new_x, mins, maxs, d)
     fit = _evaluate_block(p_scaled, dft_ref, target_ref, tri_ref[:], audio_scratch, **statics)
     fitness_ref[pl.ds(i, 1), :] = fit
 
@@ -172,6 +197,7 @@ def fused_generation(
     root_two_over_pi: float = math.sqrt(2.0 / math.pi),
     clamp_values: bool = False,
     min_step: float = 0.0,
+    dft_packed: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One whole generation's offspring + fitness.
 
@@ -185,7 +211,12 @@ def fused_generation(
         pb //= 2
     if n % time_block:
         raise ValueError(f"n={n} must be a multiple of {time_block}")
-    dft = jnp.concatenate([dft_cos, dft_sin], axis=1).T.astype(jnp.bfloat16)
+    if dft_packed is not None:
+        # precomputed (2K, N) bf16 — XLA does not hoist the rebuild below out
+        # of scan bodies (~0.3 ms/gen at the bench config)
+        dft = dft_packed
+    else:
+        dft = jnp.concatenate([dft_cos, dft_sin], axis=1).T.astype(jnp.bfloat16)
     if interpret:
         # interpreter-mode dots run on XLA:CPU, which has no bf16 kernel;
         # quantise-then-upcast matches the TPU bf16 MXU numerics exactly
@@ -242,7 +273,7 @@ def fused_generation(
             pl.BlockSpec((d, mu), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * k, n), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((k, num_frames), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((time_block, time_block), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((time_block + 8, time_block), full, memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((pop // pb, pb), full, memory_space=pltpu.VMEM),

@@ -34,7 +34,15 @@ TIME_BLOCK = 128
 
 
 def _tri_strict(c: int) -> np.ndarray:
-    return np.tril(np.ones((c, c), np.float32), k=-1)
+    """(C+8, C): strictly-lower-triangular prefix matrix with a ones row
+    appended at row C (rows C+1..C+7 zero-pad to the sublane tile). One MXU
+    matmul then yields BOTH the exclusive intra-block prefix sums (rows
+    0..C-1) and the block total (row C) — replacing a ~log2(C)-pass VPU
+    sublane reduction per oscillator chain per block."""
+    t = np.zeros((c + 8, c), np.float32)
+    t[:c] = np.tril(np.ones((c, c), np.float32), k=-1)
+    t[c] = 1.0
+    return t
 
 
 # Odd minimax-ish polynomial for sin(2*pi*w), w in [-0.5, 0.5] (turns),
@@ -63,7 +71,7 @@ def _evaluate_block(
     p,  # (D, PB) f32 scaled params — lanes = candidates
     dft_ref,  # (2K, N) bf16 ref
     target_ref,  # (K, F) f32 ref
-    tri,  # (C, C) f32 strictly lower triangular (loaded)
+    tri,  # (C+8, C) f32 prefix matrix + ones row (loaded)
     audio_scratch,  # (N, PB) bf16 VMEM ref — one frame of candidate audio
     *,
     topology: str,
@@ -105,11 +113,13 @@ def _evaluate_block(
     def row(i):  # (1, PB)
         return p[i : i + 1, :]
 
-    # strictly-lower-triangular matmul: exclusive intra-block prefix sums
-    def ex_prefix(xb):  # (C, PB) -> (C, PB)
-        return jax.lax.dot_general(
+    # one matmul -> exclusive intra-block prefix sums AND the block total
+    # (tri carries a ones row at row C, see _tri_strict)
+    def ex_prefix(xb):  # (C, PB) -> ((C, PB) prefix, (1, PB) total)
+        ps = jax.lax.dot_general(
             tri, xb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
+        return ps[0:c], ps[c : c + 1]
 
     # Mosaic iota must be integer-typed; cast after
     t_block = jax.lax.broadcasted_iota(jnp.int32, (c, pb), 0).astype(jnp.float32)
@@ -165,11 +175,13 @@ def _evaluate_block(
         if topology == "fm3_series":
             pos1 = t_block * inc1 + off1  # (C, PB) raw turns
             x1 = osc(pos1) * im1 + ic1  # = inv_sr * cur1
-            pos2 = ex_prefix(x1) + off2
-            off2 = frac(off2 + jnp.sum(x1, axis=0, keepdims=True))
+            pre1, tot1 = ex_prefix(x1)
+            pos2 = pre1 + off2
+            off2 = frac(off2 + tot1)
             x2 = osc(pos2) * im2 + ic2
-            pos3 = ex_prefix(x2) + off3
-            off3 = frac(off3 + jnp.sum(x2, axis=0, keepdims=True))
+            pre2, tot2 = ex_prefix(x2)
+            pos3 = pre2 + off3
+            off3 = frac(off3 + tot2)
             out = osc(pos3) * m3
             off1 = frac(off1 + inc_blk)
         else:  # one or three independent 2-op pairs
@@ -177,10 +189,11 @@ def _evaluate_block(
             for j, (im_, ic_, amp, inc) in enumerate(pairs):
                 pos1 = t_block * inc + offs1[j]
                 x = osc(pos1) * im_ + ic_
-                pos2 = ex_prefix(x) + offs2[j]
+                pre, tot = ex_prefix(x)
+                pos2 = pre + offs2[j]
                 o = osc(pos2) * amp
                 out = o if out is None else out + o
-                offs2[j] = frac(offs2[j] + jnp.sum(x, axis=0, keepdims=True))
+                offs2[j] = frac(offs2[j] + tot)
                 offs1[j] = frac(offs1[j] + incs_blk[j])
             if len(pairs) > 1:
                 out = out / jnp.float32(len(pairs))
@@ -214,7 +227,7 @@ def _kernel(
     params_ref,  # (D, PB) f32  — transposed: lanes = candidates
     dft_ref,  # (2K, N) bf16 — [cos; sin] stacked, TRANSPOSED (standard GEMM)
     target_ref,  # (K, F) f32 — one column of target spectrum per STFT frame
-    tri_ref,  # (C, C) f32 strictly lower triangular
+    tri_ref,  # (C+8, C) f32 (prefix rows + ones row) strictly lower triangular
     fitness_ref,  # (G, PB) f32 out — full array; program i writes row i
     audio_scratch,  # (N, PB) bf16 VMEM — one frame of candidate audio
     **statics,
@@ -244,8 +257,13 @@ def fused_synth_fitness(
     interpret: bool = False,
     time_block: int = TIME_BLOCK,
     num_frames: int = 1,
+    dft_packed: jax.Array | None = None,
 ) -> jax.Array:
     """Fitness for the whole population; returns ``(P,)`` f32.
+
+    Pass ``dft_packed`` (SpectrumOps.dft_packed) when calling from inside a
+    scan: XLA does not hoist the concat+transpose+cast below out of loop
+    bodies, and rebuilding the (2K, N) operand cost ~0.3 ms per generation.
 
     With ``num_frames > 1`` each candidate synthesises ``num_frames * n``
     continuous samples and its fitness sums the framewise spectral errors
@@ -262,9 +280,12 @@ def fused_synth_fitness(
     if n % time_block:
         raise ValueError(f"n={n} must be a multiple of {time_block}")
     params_t = params_scaled.T.astype(jnp.float32)  # (D, P)
-    dft = (
-        jnp.concatenate([dft_cos, dft_sin], axis=1).T.astype(jnp.bfloat16)
-    )  # (2K, N)
+    if dft_packed is not None:
+        dft = dft_packed  # (2K, N) bf16, precomputed
+    else:
+        dft = (
+            jnp.concatenate([dft_cos, dft_sin], axis=1).T.astype(jnp.bfloat16)
+        )  # (2K, N)
     if interpret:
         # XLA:CPU cannot execute bf16 dots; quantise-then-upcast is
         # numerically identical to the TPU bf16 MXU (see _evaluate_block)
@@ -311,7 +332,7 @@ def fused_synth_fitness(
             pl.BlockSpec((2 * k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, num_frames), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (time_block, time_block), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (time_block + 8, time_block), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
