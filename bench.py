@@ -63,7 +63,7 @@ def main():
         audio_length_log2=AUDIO_LOG2,
         synthesis_engine="scanless",
         spectrum_method="dft",
-        dft_dtype="bfloat16",
+        dft_dtype="int8",  # exact int32-accumulated DFT, 2x MXU rate (KERNELS.md)
         mutation_noise="clt12",
         fused_kernel=True,
         fused_generation=True,  # whole generation in one Pallas kernel

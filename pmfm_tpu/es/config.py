@@ -66,7 +66,11 @@ class ESConfig:
     min_step: float = 0.0  # step floor (0 = reference behavior: none)
     workgroup_size: int = 32  # only used by compat_shuffle recombination
     scan_unroll: int = 8
-    dft_dtype: str = "float32"  # "float32" | "bfloat16"
+    # "float32" | "bfloat16" | "int8". int8 applies to the fused Pallas
+    # kernels on single-amplitude topologies (fm2/fm3_series): 2x MXU rate +
+    # halved VMEM footprint, exact int32 accumulation (ops/spectral.py);
+    # elsewhere it silently degrades to bfloat16 (pipeline.make_spectrum_ops)
+    dft_dtype: str = "float32"
 
     # capability upgrades over the reference (SURVEY.md §7.2 item 8)
     fitness_threshold: float = 0.0  # 0 disables early stop (dead knob in ref)

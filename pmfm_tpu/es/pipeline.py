@@ -32,11 +32,16 @@ from .strategy import ESState, evaluate, init_state, mutate, recombine, select
 
 
 def make_spectrum_ops(cfg: ESConfig) -> spectral.SpectrumOps:
+    dtype = cfg.dft_dtype
+    if dtype == "int8" and cfg.topology not in ("fm2", "fm3_series"):
+        # the int8 engine factors ONE output amplitude out of the audio;
+        # fm3_parallel sums three, so it stays on bf16
+        dtype = "bfloat16"
     return spectral.make_spectrum_ops(
         cfg.n_samples,
         num_bins=cfg.num_bins,
         method=cfg.spectrum_method,
-        dft_dtype=jnp.dtype(cfg.dft_dtype),
+        dft_dtype=jnp.dtype(dtype),
     )
 
 
@@ -90,6 +95,7 @@ def generation_step(
             clamp_values=cfg.clamp_values,
             min_step=cfg.min_step,
             dft_packed=spectrum_ops.dft_packed,
+            dft_scale=spectrum_ops.dft_packed_scale,
         )
     else:
         key, k_rec, k_mut = jax.random.split(state.key, 3)
@@ -178,6 +184,7 @@ def _evolve_mega(
         root_two_over_pi=cfg.root_two_over_pi,
         clamp_values=cfg.clamp_values,
         min_step=cfg.min_step,
+        dft_scale=spectrum_ops.dft_packed_scale,
     )
     # stall = generations since the best improved, recovered from the
     # best-ever trajectory the kernel always emits

@@ -272,6 +272,7 @@ def evaluate(
             interpret=_jax.default_backend() == "cpu",
             num_frames=cfg.num_frames,
             dft_packed=spectrum_ops.dft_packed,
+            dft_scale=spectrum_ops.dft_packed_scale,
         )
     audio = synthesis.synthesize(
         scaled,
@@ -282,9 +283,12 @@ def evaluate(
         osc_mode=cfg.osc_mode,
         unroll=cfg.scan_unroll,
         engine=cfg.synthesis_engine,
-        # when the spectrum matmul runs in bf16, emit bf16 audio directly
-        # (halves the HBM traffic of the pipeline's largest array)
-        out_dtype=jnp.bfloat16 if cfg.dft_dtype == "bfloat16" else jnp.float32,
+        # when the spectrum matmul runs reduced-precision, emit bf16 audio
+        # directly (halves the HBM traffic of the pipeline's largest array;
+        # the int8 config falls back to bf16 on this non-fused path)
+        out_dtype=jnp.bfloat16
+        if cfg.dft_dtype in ("bfloat16", "int8")
+        else jnp.float32,
     )
     if cfg.num_frames > 1:
         # multi-frame STFT fitness: target_spectrum is (frames, bins)

@@ -32,7 +32,7 @@ TPU extension section (all optional)::
     "mutationNoise": "clt12",       # clt12 | normal | clt12_neutral | normal_unit
     "minStep": 0.0,                 # mutation step floor (0 = reference)
     "restartPatience": 0,           # restart parents after N stalled gens
-    "dftDtype": "float32",          # float32 | bfloat16
+    "dftDtype": "float32",          # float32 | bfloat16 | int8
     "numBins": null,
     "meshShape": [8],               # population-sharding mesh (parallel/)
     "meshAxisNames": ["pop"]

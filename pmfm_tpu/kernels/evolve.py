@@ -211,7 +211,7 @@ def _evolve_kernel(
         "gens", "pop", "param_mins", "param_maxs", "topology", "n",
         "wavetable_size", "sample_rate", "pop_block", "interpret",
         "time_block", "num_frames", "alpha", "beta", "beta_scale",
-        "root_two_over_pi", "clamp_values", "min_step",
+        "root_two_over_pi", "clamp_values", "min_step", "dft_scale",
     ),
 )
 def fused_evolve(
@@ -241,6 +241,7 @@ def fused_evolve(
     root_two_over_pi: float = math.sqrt(2.0 / math.pi),
     clamp_values: bool = False,
     min_step: float = 0.0,
+    dft_scale: float = 0.0,
 ):
     """Run ``gens`` complete ES generations in one kernel invocation.
 
@@ -258,7 +259,15 @@ def fused_evolve(
     if n % time_block:
         raise ValueError(f"n={n} must be a multiple of {time_block}")
     blocks = pop // pb
-    dft = dft_packed.astype(jnp.float32) if interpret else dft_packed
+    if dft_scale > 0.0 and dft_packed.dtype != jnp.int8:
+        raise ValueError("int8 engine needs the int8 SpectrumOps.dft_packed")
+    # int8 operands stay int8 under interpret (CPU int8 dots are exact too);
+    # bf16 upcasts to f32 (XLA:CPU has no bf16 dot kernel)
+    dft = (
+        dft_packed.astype(jnp.float32)
+        if interpret and dft_packed.dtype == jnp.bfloat16
+        else dft_packed
+    )
     if target_spectrum.ndim == 1:
         tgt = target_spectrum.astype(jnp.float32)[:, None]
     else:
@@ -293,6 +302,7 @@ def fused_evolve(
         wts=float(wavetable_size),
         w2sr=wavetable_size / float(sample_rate),
         num_frames=num_frames,
+        dft_scale=dft_scale,
     )
     kwargs = {}
     if interpret:
@@ -333,7 +343,12 @@ def fused_evolve(
         ),
         scratch_shapes=[
             pltpu.VMEM((2 * vr, mu), jnp.float32),
-            pltpu.VMEM((n, pb), jnp.float32 if interpret else jnp.bfloat16),
+            pltpu.VMEM(
+                (n, pb),
+                jnp.int8
+                if dft_scale > 0.0
+                else (jnp.float32 if interpret else jnp.bfloat16),
+            ),
             pltpu.VMEM((vr + 8, 128), jnp.float32),
         ],
         **kwargs,

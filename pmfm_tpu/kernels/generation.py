@@ -169,7 +169,7 @@ def _gen_kernel(
         "topology", "n", "wavetable_size", "sample_rate", "pop", "pop_block",
         "interpret", "time_block", "num_frames", "alpha", "beta", "beta_scale",
         "root_two_over_pi", "clamp_values", "param_mins", "param_maxs",
-        "min_step",
+        "min_step", "dft_scale",
     ),
 )
 def fused_generation(
@@ -198,6 +198,7 @@ def fused_generation(
     clamp_values: bool = False,
     min_step: float = 0.0,
     dft_packed: jax.Array | None = None,
+    dft_scale: float = 0.0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One whole generation's offspring + fitness.
 
@@ -211,13 +212,17 @@ def fused_generation(
         pb //= 2
     if n % time_block:
         raise ValueError(f"n={n} must be a multiple of {time_block}")
-    if dft_packed is not None:
+    if dft_scale > 0.0:
+        if dft_packed is None or dft_packed.dtype != jnp.int8:
+            raise ValueError("int8 engine needs the int8 SpectrumOps.dft_packed")
+        dft = dft_packed  # int8 in BOTH modes: CPU int8 dots are exact too
+    elif dft_packed is not None:
         # precomputed (2K, N) bf16 — XLA does not hoist the rebuild below out
         # of scan bodies (~0.3 ms/gen at the bench config)
         dft = dft_packed
     else:
         dft = jnp.concatenate([dft_cos, dft_sin], axis=1).T.astype(jnp.bfloat16)
-    if interpret:
+    if interpret and dft.dtype == jnp.bfloat16:
         # interpreter-mode dots run on XLA:CPU, which has no bf16 kernel;
         # quantise-then-upcast matches the TPU bf16 MXU numerics exactly
         dft = dft.astype(jnp.float32)
@@ -246,6 +251,7 @@ def fused_generation(
         wts=float(wavetable_size),
         w2sr=wavetable_size / float(sample_rate),
         num_frames=num_frames,
+        dft_scale=dft_scale,
     )
     kwargs = {}
     if interpret:
@@ -281,7 +287,12 @@ def fused_generation(
             pl.BlockSpec((d, pop), full, memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, pb), jnp.float32 if interpret else jnp.bfloat16)
+            pltpu.VMEM(
+                (n, pb),
+                jnp.int8
+                if dft_scale > 0.0
+                else (jnp.float32 if interpret else jnp.bfloat16),
+            )
         ],
         **kwargs,
     )(

@@ -60,19 +60,21 @@ def _sin_turn_coeffs() -> np.ndarray:
 _SIN_COEF = _sin_turn_coeffs()
 
 
-def _sin_turns(w):
-    """sin(2*pi*w) for w in [-0.5, 0.5]."""
-    c1, c3, c5, c7, c9 = (jnp.float32(v) for v in _SIN_COEF)
+def _sin_turns(w, scale: float = 1.0):
+    """scale * sin(2*pi*w) for w in [-0.5, 0.5]. ``scale`` is folded into the
+    polynomial coefficients at trace time (free — used to emit 127*sin for
+    the int8 audio quantisation without an extra VPU pass)."""
+    c1, c3, c5, c7, c9 = (jnp.float32(v * scale) for v in _SIN_COEF)
     w2 = w * w
     return w * (c1 + w2 * (c3 + w2 * (c5 + w2 * (c7 + w2 * c9))))
 
 
 def _evaluate_block(
     p,  # (D, PB) f32 scaled params — lanes = candidates
-    dft_ref,  # (2K, N) bf16 ref
+    dft_ref,  # (2K, N) bf16 (or int8, see dft_scale) ref
     target_ref,  # (K, F) f32 ref
     tri,  # (C+8, C) f32 prefix matrix + ones row (loaded)
-    audio_scratch,  # (N, PB) bf16 VMEM ref — one frame of candidate audio
+    audio_scratch,  # (N, PB) bf16/int8 VMEM ref — one frame of candidate audio
     *,
     topology: str,
     n: int,
@@ -82,6 +84,7 @@ def _evaluate_block(
     wts: float,
     w2sr: float,
     num_frames: int = 1,
+    dft_scale: float = 0.0,
 ):
     """Shared kernel body: synthesise one population block and return its
     fitness row ``(1, PB)``. Used by both the evaluate-only kernel and the
@@ -92,6 +95,16 @@ def _evaluate_block(
     contraction runs the MXU at near-peak, unlike per-time-block k=C
     accumulation, and the f32 accumulator round trips disappear (measured
     ~0.3ms/gen at pop 2^15).
+
+    ``dft_scale > 0`` selects the INT8 engine (v5e int8 MXU rate is 2x bf16
+    and both big VMEM buffers halve): the single output amplitude of
+    fm2/fm3_series is factored out of the audio (magnitudes are linear in
+    it), the final oscillator emits 127*sin via scaled polynomial
+    coefficients, the scratch holds round(127*unit_audio) int8, the DFT
+    matmul accumulates EXACTLY in int32 against the quantised
+    SpectrumOps.dft_packed, and the magnitude is rescaled by
+    |amp| * dft_scale per candidate. fm3_parallel sums three amplitudes so
+    it stays on the bf16 engine (pipeline.make_spectrum_ops downgrades it).
     """
     # Everything runs in TURNS (phase / wavetable_size): the wrap "mod wts"
     # becomes frac(x) = x - floor(x) (no division), and the oscillator is a
@@ -103,12 +116,22 @@ def _evaluate_block(
     # quantisation. Saves two VPU passes per oscillator chain per block.
     inv_sr = jnp.float32(w2sr / wts)  # = 1 / sample_rate
     nb = n // c
+    int8_mode = dft_scale > 0.0
+    if int8_mode and topology not in ("fm2", "fm3_series"):
+        raise NotImplementedError(
+            "int8 DFT engine needs a single output amplitude to factor out; "
+            f"topology {topology!r} is unsupported (use bf16)"
+        )
 
     def frac(x):
         return x - jnp.floor(x)
 
     def osc(x):  # sin(2*pi*x) for any x; round-reduce to [-0.5, 0.5] turns
         return _sin_turns(x - jnp.floor(x + 0.5))
+
+    def osc_out(x):  # OUTPUT oscillator: 127*sin in int8 mode (gain is free
+        # — folded into the polynomial coefficients, see _sin_turns)
+        return _sin_turns(x - jnp.floor(x + 0.5), 127.0 if int8_mode else 1.0)
 
     def row(i):  # (1, PB)
         return p[i : i + 1, :]
@@ -162,6 +185,12 @@ def _evaluate_block(
         offs1 = [zeros() for _ in pairs]
         offs2 = [zeros() for _ in pairs]
 
+    if int8_mode:
+        # the factored-out output amplitude, rescaled into the magnitude
+        # spectrum after the exact int32 matmul (see docstring)
+        amp_row = m3 if topology == "fm3_series" else pairs[0][2]  # (1, PB)
+        mag_scale = jnp.abs(amp_row) * jnp.float32(dft_scale)  # (1, PB)
+
     # Per-sample phase increments |w2sr*cur| < ~0.75*(fmax*imax+imax) stay far
     # below wts, and intra-block sums stay < C*0.64 in f32 to ~5e-6 turns, so
     # the elementwise pre-mod of the scanless reference implementation is
@@ -182,7 +211,7 @@ def _evaluate_block(
             pre2, tot2 = ex_prefix(x2)
             pos3 = pre2 + off3
             off3 = frac(off3 + tot2)
-            out = osc(pos3) * m3
+            out = osc_out(pos3) if int8_mode else osc(pos3) * m3
             off1 = frac(off1 + inc_blk)
         else:  # one or three independent 2-op pairs
             out = None
@@ -191,20 +220,25 @@ def _evaluate_block(
                 x = osc(pos1) * im_ + ic_
                 pre, tot = ex_prefix(x)
                 pos2 = pre + offs2[j]
-                o = osc(pos2) * amp
+                o = osc_out(pos2) if int8_mode else osc(pos2) * amp
                 out = o if out is None else out + o
                 offs2[j] = frac(offs2[j] + tot)
                 offs1[j] = frac(offs1[j] + incs_blk[j])
             if len(pairs) > 1:
                 out = out / jnp.float32(len(pairs))
-        # audio is bf16-QUANTISED in both modes; the scratch dtype is bf16 on
-        # hardware and f32 under plain interpret (XLA:CPU has no bf16 dot
-        # kernel — a bf16 MXU matmul computes exact products of bf16 values
-        # with f32 accumulation, so quantise-then-upcast is numerically
-        # identical)
-        audio_scratch[pl.ds(bf * c, c), :] = out.astype(jnp.bfloat16).astype(
-            audio_scratch.dtype
-        )
+        # audio is QUANTISED in both modes: round(127*x) int8, or bf16 (the
+        # scratch dtype is bf16 on hardware and f32 under plain interpret —
+        # XLA:CPU has no bf16 dot kernel; a bf16 MXU matmul computes exact
+        # products of bf16 values with f32 accumulation, so
+        # quantise-then-upcast is numerically identical)
+        if int8_mode:
+            audio_scratch[pl.ds(bf * c, c), :] = jnp.round(out).astype(
+                audio_scratch.dtype
+            )
+        else:
+            audio_scratch[pl.ds(bf * c, c), :] = out.astype(jnp.bfloat16).astype(
+                audio_scratch.dtype
+            )
         if bf == nb - 1:
             # frame complete: one near-peak k=N MXU matmul -> spectrum,
             # then fold the frame's spectral error into the fitness
@@ -213,11 +247,15 @@ def _evaluate_block(
                 dft_ref[:],
                 audio_scratch[:],
                 dn_std,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.int32 if int8_mode else jnp.float32,
             )  # (2K, PB)
+            if int8_mode:
+                spec = spec.astype(jnp.float32)
             re = spec[:k, :]
             im = spec[k:, :]
             mag = jnp.sqrt(re * re + im * im)  # (K, PB)
+            if int8_mode:
+                mag = mag * mag_scale  # |amp| * dft_scale, lane-aligned
             d = mag - target_ref[:, f : f + 1]  # frame target, lane-broadcast
             fit = fit + jnp.sum(d * d, axis=0)[None, :]
     return fit
@@ -242,7 +280,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("topology", "n", "wavetable_size", "sample_rate", "pop_block", "interpret", "time_block", "num_frames"),
+    static_argnames=("topology", "n", "wavetable_size", "sample_rate", "pop_block", "interpret", "time_block", "num_frames", "dft_scale"),
 )
 def fused_synth_fitness(
     params_scaled: jax.Array,  # (P, D) f32
@@ -258,6 +296,7 @@ def fused_synth_fitness(
     time_block: int = TIME_BLOCK,
     num_frames: int = 1,
     dft_packed: jax.Array | None = None,
+    dft_scale: float = 0.0,
 ) -> jax.Array:
     """Fitness for the whole population; returns ``(P,)`` f32.
 
@@ -270,6 +309,10 @@ def fused_synth_fitness(
     against ``target_spectrum`` of shape ``(num_frames, K)`` (multi-frame
     STFT fitness, SURVEY.md §5.7).
 
+    ``dft_scale > 0`` selects the int8 DFT engine (SpectrumOps.dft_packed
+    must be the int8 operand and dft_scale its SpectrumOps.dft_packed_scale;
+    fm2/fm3_series only — see _evaluate_block).
+
     Requirements: P % pop_block == 0, n % 128 == 0, K % 128 == 0.
     """
     pop, d = params_scaled.shape
@@ -280,13 +323,17 @@ def fused_synth_fitness(
     if n % time_block:
         raise ValueError(f"n={n} must be a multiple of {time_block}")
     params_t = params_scaled.T.astype(jnp.float32)  # (D, P)
-    if dft_packed is not None:
+    if dft_scale > 0.0:
+        if dft_packed is None or dft_packed.dtype != jnp.int8:
+            raise ValueError("int8 engine needs the int8 SpectrumOps.dft_packed")
+        dft = dft_packed  # int8 in BOTH modes: CPU int8 dots are exact too
+    elif dft_packed is not None:
         dft = dft_packed  # (2K, N) bf16, precomputed
     else:
         dft = (
             jnp.concatenate([dft_cos, dft_sin], axis=1).T.astype(jnp.bfloat16)
         )  # (2K, N)
-    if interpret:
+    if interpret and dft.dtype == jnp.bfloat16:
         # XLA:CPU cannot execute bf16 dots; quantise-then-upcast is
         # numerically identical to the TPU bf16 MXU (see _evaluate_block)
         dft = dft.astype(jnp.float32)
@@ -310,6 +357,7 @@ def fused_synth_fitness(
         wts=float(wavetable_size),
         w2sr=wavetable_size / float(sample_rate),
         num_frames=num_frames,
+        dft_scale=dft_scale,
     )
     grid = (pop // pb,)
     chains = {"fm2": 1, "fm3_series": 2, "fm3_parallel": 3}[topology]
@@ -339,7 +387,12 @@ def fused_synth_fitness(
             (pop // pb, pb), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, pb), jnp.float32 if interpret else jnp.bfloat16)
+            pltpu.VMEM(
+                (n, pb),
+                jnp.int8
+                if dft_scale > 0.0
+                else (jnp.float32 if interpret else jnp.bfloat16),
+            )
         ],
         cost_estimate=cost,
         interpret=interpret,

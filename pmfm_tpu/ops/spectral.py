@@ -76,11 +76,21 @@ class SpectrumOps(NamedTuple):
     dft_sin: jax.Array | None
     method: str
     dft_dtype: jnp.dtype | None
-    # (2K, N) bf16 [cos; sin] stacked+transposed, ready for the Pallas
-    # kernels. Precomputed HERE because XLA does not hoist a large operand
-    # materialisation (concat+transpose+cast) out of a scan body — rebuilding
-    # it per generation cost ~0.3 ms/gen at the bench config.
+    # (2K, N) [cos; sin] stacked+transposed, ready for the Pallas kernels —
+    # bf16, or int8 when dft_dtype == int8. Precomputed HERE because XLA does
+    # not hoist a large operand materialisation (concat+transpose+cast) out
+    # of a scan body — rebuilding it per generation cost ~0.3 ms/gen at the
+    # bench config.
     dft_packed: jax.Array | None = None
+    # int8 mode only (0.0 otherwise): dft_packed holds round(63.5 * cos*w)
+    # WITHOUT the magnitude normalisation (folding norm ~ 1/N into int8 would
+    # quantise every entry to zero). A candidate's audio is stored as
+    # round(127 * unit_audio) with the amplitude factored out (magnitude
+    # spectra are linear in a single amplitude), so the true spectrum is
+    # recovered as |amp| * dft_packed_scale * |int32 matmul|. The int32
+    # accumulation is EXACT (k=N=1024: |sum| <= 1024*127*127 << 2^31), unlike
+    # the bf16 path's f32-accumulated bf16 products.
+    dft_packed_scale: float = 0.0
 
 
 def make_spectrum_ops(
@@ -98,6 +108,12 @@ def make_spectrum_ops(
     w = hann_window(n)
     norm = 1.0 / (n * window_factor(n))
     dft_cos = dft_sin = dft_packed = None
+    dft_packed_scale = 0.0
+    int8_mode = jnp.dtype(dft_dtype) == jnp.int8
+    if int8_mode:
+        # the XLA (non-Pallas) spectrum paths keep bf16 operands; only the
+        # fused kernels consume the int8 dft_packed (see SpectrumOps docs)
+        dft_dtype = jnp.bfloat16
     if method == "dft":
         t = np.arange(n, dtype=np.float64)[:, None]
         k = np.arange(num_bins, dtype=np.float64)[None, :]
@@ -108,9 +124,18 @@ def make_spectrum_ops(
         sin_np = -np.sin(ang) * w[:, None] * norm
         dft_cos = jnp.asarray(cos_np.astype(dft_dtype))
         dft_sin = jnp.asarray(sin_np.astype(dft_dtype))
-        dft_packed = jnp.asarray(
-            np.concatenate([cos_np, sin_np], axis=1).T.astype(np.float32)
-        ).astype(jnp.bfloat16)
+        if int8_mode:
+            # quantise cos*w (range [-2, 2] — the reference window peaks at
+            # 2.0) at 63.5 LSB/unit; norm moves to dft_packed_scale
+            q = np.concatenate(
+                [np.cos(ang) * w[:, None], np.sin(ang) * -w[:, None]], axis=1
+            ).T * 63.5
+            dft_packed = jnp.asarray(np.round(q).astype(np.int8))
+            dft_packed_scale = norm / (63.5 * 127.0)
+        else:
+            dft_packed = jnp.asarray(
+                np.concatenate([cos_np, sin_np], axis=1).T.astype(np.float32)
+            ).astype(jnp.bfloat16)
     return SpectrumOps(
         n=n,
         num_bins=num_bins,
@@ -121,6 +146,7 @@ def make_spectrum_ops(
         method=method,
         dft_dtype=dft_dtype,
         dft_packed=dft_packed,
+        dft_packed_scale=dft_packed_scale,
     )
 
 

@@ -167,3 +167,71 @@ class TestEdgeCases:
         # identical candidates -> identical fitness
         f = np.asarray(fit)
         np.testing.assert_allclose(f, f[0], rtol=1e-5)
+
+
+class TestInt8Engine:
+    """int8 DFT engine (dft_dtype="int8"): exact int32-accumulated matmul
+    against the quantised dft_packed, amplitude factored out of the audio
+    (ops/spectral.py SpectrumOps docs). Interpreter-mode int8 dots are
+    bit-identical to the TPU MXU (integer arithmetic), unlike bf16."""
+
+    def _cfg(self, topology, d, dft_dtype, **kw):
+        maxs = (
+            (3520.0, 8.0, 3520.0, 8.0, 3520.0, 8.0)
+            if topology == "fm3_series"
+            else tuple(([3520.0, 8.0, 3520.0, 1.0] * 3)[:d])
+        )
+        return ESConfig(
+            num_parents=16, num_offspring=112, num_dimensions=d,
+            topology=topology, param_mins=(0.0,) * d, param_maxs=maxs,
+            audio_length_log2=8, synthesis_engine="scanless",
+            spectrum_method="dft", dft_dtype=dft_dtype, pop_block=128, **kw,
+        )
+
+    @pytest.mark.parametrize("topology,d", [("fm2", 4), ("fm3_series", 6)])
+    def test_rank_agreement_vs_f32(self, topology, d):
+        cfg8 = self._cfg(topology, d, "int8", fused_kernel=True)
+        cfg32 = self._cfg(topology, d, "float32")
+        so8 = make_spectrum_ops(cfg8)
+        so32 = make_spectrum_ops(cfg32)
+        assert so8.dft_packed.dtype == jnp.int8 and so8.dft_packed_scale > 0
+        vals = jax.random.uniform(jax.random.PRNGKey(0), (128, d))
+        tgt = jnp.ones((so8.num_bins,), jnp.float32)
+        f8 = np.asarray(evaluate(vals, tgt, so8, cfg8))
+        f32 = np.asarray(evaluate(vals, tgt, so32, cfg32))
+        rel = np.abs(f8 - f32) / (np.abs(f32) + 1e-9)
+        assert np.median(rel) < 2e-3 and rel.max() < 3e-2
+        # selection consumes the top-mu set and the best candidate
+        top8, top32 = np.argsort(f8)[:16], np.argsort(f32)[:16]
+        assert top8[0] == top32[0]
+        assert len(set(top8) & set(top32)) >= 15
+
+    def test_parallel_topology_downgrades_to_bf16(self):
+        cfg = self._cfg("fm3_parallel", 12, "int8")
+        so = make_spectrum_ops(cfg)
+        assert so.dft_packed.dtype == jnp.bfloat16
+        assert so.dft_packed_scale == 0.0
+
+    def test_generation_step_int8(self):
+        """Full generation_step pipeline with the int8 engine (XLA fallback
+        offspring on CPU + int8 fused evaluate) improves fitness."""
+        from pmfm_tpu.es.pipeline import evolve
+
+        cfg = self._cfg("fm3_series", 6, "int8", fused_kernel=True)
+        so = make_spectrum_ops(cfg)
+        state = init_state(jax.random.PRNGKey(0), cfg)
+        tgt = jnp.ones((so.num_bins,), jnp.float32)
+        final, _ = evolve(state, tgt, 3, so, cfg)
+        assert np.isfinite(float(final.best_fitness))
+        assert float(final.best_fitness) < 1e30
+
+    def test_int8_requires_packed_operand(self):
+        so = ops.make_spectrum_ops(256, method="dft")
+        scaled = jnp.asarray(np.full((8, 6), 100.0, np.float32))
+        tgt = jnp.zeros((so.num_bins,), jnp.float32)
+        with pytest.raises(ValueError, match="int8"):
+            fused_synth_fitness(
+                scaled, so.dft_cos, so.dft_sin, tgt, topology="fm3_series",
+                n=256, pop_block=8, interpret=True, dft_scale=1e-7,
+                dft_packed=so.dft_packed,  # bf16, not int8
+            )
