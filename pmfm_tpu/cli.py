@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=int, default=None,
                    help="shard the population over N devices (overrides tpu.meshShape)")
     p.add_argument("--profile-dir", default=None, help="capture a jax.profiler trace here")
+    p.add_argument("--export-aot", default=None, metavar="PATH",
+                   help="serialize the STFT matcher for this config/target "
+                        "shape to an AOT artifact (jax.export) and exit")
+    p.add_argument("--aot", default=None, metavar="PATH",
+                   help="run from an AOT artifact (see --export-aot) instead "
+                        "of tracing/compiling the matcher")
     p.add_argument("--input-generated-path", default="inputGenerated.wav",
                    help="where params-mode targets are written (main.cpp:226)")
     p.add_argument("--quiet", action="store_true")
@@ -176,6 +182,22 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: unknown input mode {run_cfg.input_mode!r}", file=sys.stderr)
         return 2
 
+    # --- AOT export / serve (offline-compile analog, utils/aot.py) --------
+    if args.export_aot:
+        from .utils import aot
+
+        n = len(target) - len(target) % cfg.n_samples
+        if n == 0:
+            print("error: target shorter than one frame", file=sys.stderr)
+            return 2
+        path = aot.save_matcher(args.export_aot, cfg, num_generations,
+                                target_samples=n)
+        if not args.quiet:
+            print(f"exported AOT matcher to {path} "
+                  f"({os.path.getsize(path)} bytes, target_samples={n}, "
+                  f"generations={num_generations})")
+        return 0
+
     # --- benchmarking setup (reference CSV naming) ------------------------
     bm = None
     if run_cfg.is_benchmarking:
@@ -211,7 +233,32 @@ def main(argv: list[str] | None = None) -> int:
     debug_ctx = debug_nans(True) if run_cfg.is_debug else contextlib.nullcontext()
     start = time.perf_counter()
     with maybe_trace(args.profile_dir), debug_ctx:
-        if args.mode == "stft":
+        if args.aot:
+            from .es.pipeline import ChunkResult, MatchResult
+            from .utils import aot
+
+            matcher = aot.load_matcher(args.aot)
+            cfg = matcher.cfg  # the artifact is self-describing
+            if len(target) < matcher.target_samples:
+                print(
+                    f"error: target has {len(target)} samples; artifact "
+                    f"expects {matcher.target_samples}",
+                    file=sys.stderr,
+                )
+                return 2
+            out = matcher(args.seed, target[: matcher.target_samples])
+            result = MatchResult(
+                chunks=[ChunkResult(
+                    best_params_scaled=out["best_params_scaled"],
+                    best_params_norm=out["best_params_norm"],
+                    best_fitness=float(out["best_fitness"]),
+                    generations_run=int(out["generations_run"]),
+                    trajectory=None,
+                )],
+                output_audio=out["best_audio"],
+                config=cfg,
+            )
+        elif args.mode == "stft":
             result = match_audio_stft(
                 target, cfg, key=args.seed, num_generations=num_generations,
                 record_trajectory=args.trajectory, mesh=mesh,
