@@ -67,6 +67,9 @@ def main():
         mutation_noise="clt12",
         fused_kernel=True,
         fused_generation=True,  # whole generation in one Pallas kernel
+        fused_evolve=True,  # ALL generations in one kernel: in-kernel
+        # selection replaces the XLA top_k + per-gen dispatch (~4.5% at int8,
+        # tools/tpu_gpg_probe.py)
         pop_block=1024,
     )
     so = make_spectrum_ops(cfg)

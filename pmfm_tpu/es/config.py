@@ -50,11 +50,15 @@ class ESConfig:
     fused_kernel: bool = False  # Pallas fused synth+DFT+fitness (kernels/)
     fused_generation: bool = False  # whole generation in one kernel (in-kernel PRNG)
     # ALL generations in one kernel invocation (kernels/evolve.py) — opt-in:
-    # measured speed-equal to the per-generation scan at the bench config
-    # (the per-grid-step VMEM buffer setup costs what the scan's per-call
-    # overhead did), and the scan path additionally supports restarts,
-    # early stop and mesh sharding
+    # ~4.5% faster than the per-generation scan at the int8 bench config
+    # (in-kernel selection replaces the XLA top_k + per-gen dispatch); the
+    # scan path additionally supports restarts, early stop and mesh sharding
     fused_evolve: bool = False
+    # fused_evolve only: generations folded into ONE grid step (the
+    # per-grid-step VMEM/DMA base cost is paid once per gens_per_step
+    # generations; results are bit-identical for any value —
+    # tools/tpu_gpg_probe.py). Rounded down to a divisor of the run length.
+    gens_per_step: int = 1
     pop_block: int = 512  # candidates per fused-kernel program
     synthesis_engine: str = "scan"  # "scan" (reference parity) | "scanless" (fast)
     osc_mode: str = "floor"  # "floor" | "exact" | "table" (scan engine only)

@@ -185,6 +185,7 @@ def _evolve_mega(
         clamp_values=cfg.clamp_values,
         min_step=cfg.min_step,
         dft_scale=spectrum_ops.dft_packed_scale,
+        gens_per_step=cfg.gens_per_step,
     )
     # stall = generations since the best improved, recovered from the
     # best-ever trajectory the kernel always emits

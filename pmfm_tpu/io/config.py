@@ -25,6 +25,8 @@ TPU extension section (all optional)::
     "synthesisEngine": "scan",      # scan | scanless
     "fusedKernel": false,           # Pallas fused synth+DFT+fitness kernel
     "fusedGeneration": false,       # whole generation in one kernel (TPU only)
+    "fusedEvolve": false,           # ALL generations in one kernel (TPU only)
+    "gensPerStep": 1,               # fusedEvolve: generations per grid step
     "popBlock": 512,                # candidates per fused-kernel program
     "oscMode": "floor",             # floor | exact | table
     "spectrumMethod": "dft",        # dft | rfft | auto
@@ -116,6 +118,8 @@ def parse_config(j: dict[str, Any]) -> RunConfig:
         synthesis_engine=tpu.get("synthesisEngine", "scan"),
         fused_kernel=bool(tpu.get("fusedKernel", False)),
         fused_generation=bool(tpu.get("fusedGeneration", False)),
+        fused_evolve=bool(tpu.get("fusedEvolve", False)),
+        gens_per_step=int(tpu.get("gensPerStep", 1)),
         pop_block=int(tpu.get("popBlock", 512)),
         osc_mode=tpu.get("oscMode", "floor"),
         spectrum_method=tpu.get("spectrumMethod", "dft"),

@@ -6,14 +6,15 @@ parent pool lives in VMEM scratch across grid steps, selection runs
 in-kernel, and the offspring population never touches HBM at all (the
 per-generation kernel writes O(P*D) offspring for the XLA-side top-k).
 
-Measured speed-equal to the per-generation scan at the bench config: the
-motivation was the ~0.3 ms per-invocation VMEM buffer setup a scan of
-kernels pays every generation (tools/tpu_buffer_probe.py), but the same
-cost reappears per grid step plus the in-kernel merge — the scan path
-remains the default because it also supports restarts, early stop and mesh
-sharding. Kept as an engine because it is the zero-HBM-traffic design point
-(only parents/best/trajectory ever leave the core) and the template for
-future single-kernel residency work.
+At the int8 bench config this is ~4.5% faster than the per-generation scan
+(0.93 vs 0.99 ms/gen: the in-kernel merge replaces the XLA ``top_k`` and
+per-generation dispatch), and it is the zero-HBM-traffic design point (only
+parents/best/trajectory ever leave the core) — bench.py uses it. The scan
+path remains the default elsewhere because it also supports restarts, early
+stop and mesh sharding. ``gens_per_step`` folds several generations into one
+grid step with bit-identical results (PRNG seeded by absolute generation
+index); measured FLAT at gpg 1..25 (tools/tpu_gpg_probe.py) — the ~0.3 ms
+fixed cost recurs per generation body, not per grid step.
 
 In-kernel truncation selection (replaces sortPopulation,
 kernels/ocl_program.cl:664-711, and the XLA ``lax.top_k``): a running
@@ -108,11 +109,12 @@ def _evolve_kernel(
     out_bv_ref,  # (VR, 128) f32 out — best-ever values in column 0
     out_bf_ref,  # (8, 128) f32 out — best-ever fitness at [0, 0]
     traj_ref,  # (G, 128) f32 out — best-ever fitness per generation (col 0)
-    pool_scratch,  # (2*VR, MU) f32 — parents across generations
+    pool_scratch,  # (2*VR + 8, MU) f32 — parents (+fitness rows) across gens
     audio_scratch,  # (N, PB) bf16
     best_scratch,  # (VR + 8, 128) f32 — rows [0:VR) values, row VR fitness
     *,
-    gens: int,
+    steps: int,
+    gpg: int,
     blocks: int,
     mu: int,
     d: int,
@@ -127,13 +129,13 @@ def _evolve_kernel(
     pb = statics["pb"]
     vr = _round8(d)
     g = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0, 0] + g * 0x1E3779B9)
 
     @pl.when(g == 0)
     def _init():
         zeros_pad = jnp.zeros((vr - d, mu), jnp.float32)
         pool_scratch[:] = jnp.concatenate(
-            [pv0_ref[:], zeros_pad, ps0_ref[:], zeros_pad], axis=0
+            [pv0_ref[:], zeros_pad, ps0_ref[:], zeros_pad,
+             jnp.zeros((8, mu), jnp.float32)], axis=0
         )
         best_scratch[:] = jnp.concatenate(
             [
@@ -143,10 +145,6 @@ def _evolve_kernel(
             axis=0,
         )
 
-    pool_sc = pool_scratch[:]
-    pv = pool_sc[0:d, :]
-    ps = pool_sc[vr : vr + d, :]
-
     mins = statics.pop("mins")
     maxs = statics.pop("maxs")
     off_kw = dict(
@@ -155,54 +153,72 @@ def _evolve_kernel(
         min_step=min_step,
     )
 
-    def block_body(_, pool):
-        new_x, new_s = _offspring_block(pv, ps, **off_kw)
-        p_scaled = _scale_rows(new_x, mins, maxs, d)
-        fit = _evaluate_block(
-            p_scaled, dft_ref, target_ref, tri_ref[:], audio_scratch, **statics
-        )  # (1, PB)
-        blockstk = jnp.concatenate([new_x, new_s, fit], axis=0)  # (2D+1, PB)
-        return _merge_topmu(pool, blockstk, mu)
+    def gen_body(i, carry):
+        # absolute generation index: gpg generations share one grid step so
+        # the per-step VMEM/DMA base cost is paid once per gpg generations
+        # (tools/tpu_buffer_probe.py); seeding by gg keeps results
+        # bit-identical for any gpg.
+        gg = g * gpg + i
+        pltpu.prng_seed(seed_ref[0, 0] + gg * 0x1E3779B9)
+        pool_sc = pool_scratch[:]
+        pv = pool_sc[0:d, :]
+        ps = pool_sc[vr : vr + d, :]
 
-    pool0 = jnp.concatenate(
-        [jnp.zeros((2 * d, mu), jnp.float32), jnp.full((1, mu), _BIG, jnp.float32)],
-        axis=0,
-    )
-    pool = jax.lax.fori_loop(0, blocks, block_body, pool0)
+        def block_body(_, pool):
+            new_x, new_s = _offspring_block(pv, ps, **off_kw)
+            p_scaled = _scale_rows(new_x, mins, maxs, d)
+            fit = _evaluate_block(
+                p_scaled, dft_ref, target_ref, tri_ref[:], audio_scratch, **statics
+            )  # (1, PB)
+            blockstk = jnp.concatenate([new_x, new_s, fit], axis=0)  # (2D+1, PB)
+            return _merge_topmu(pool, blockstk, mu)
 
-    zeros_pad = jnp.zeros((vr - d, mu), jnp.float32)
-    pool_scratch[:] = jnp.concatenate(
-        [pool[0:d, :], zeros_pad, pool[d : 2 * d, :], zeros_pad], axis=0
-    )
+        pool0 = jnp.concatenate(
+            [jnp.zeros((2 * d, mu), jnp.float32), jnp.full((1, mu), _BIG, jnp.float32)],
+            axis=0,
+        )
+        pool = jax.lax.fori_loop(0, blocks, block_body, pool0)
 
-    # best-ever tracking (comma selection: the pool resets every generation).
-    # Mosaic cannot broadcast in sublanes and lanes at once, and XLA fuses
-    # chained broadcast_to calls back into one — so every 2-D broadcast here
-    # is an ADD against zeros (one axis at a time, uncollapsible).
-    gen_best_row = pool[2 * d : 2 * d + 1, 0:1] + jnp.zeros((1, 128), jnp.float32)
-    prev = best_scratch[:]
-    improved_row = gen_best_row < prev[vr : vr + 1, :]  # (1, 128) uniform
-    gen_best_v = pool[0:d, 0:1] + jnp.zeros((d, 128), jnp.float32)
-    gen_best_v = jnp.concatenate(
-        [gen_best_v, jnp.zeros((vr - d, 128), jnp.float32)], axis=0
-    )
-    gen_best_f8 = gen_best_row + jnp.zeros((8, 128), jnp.float32)
-    mask = improved_row & (jnp.zeros((vr + 8, 128), jnp.int32) == 0)
-    new_best = jnp.where(
-        mask,
-        jnp.concatenate([gen_best_v, gen_best_f8], axis=0),
-        prev,
-    )
-    best_scratch[:] = new_best
-    traj_ref[pl.ds(g, 1), :] = new_best[vr : vr + 1, :]
+        zeros_pad = jnp.zeros((vr - d, mu), jnp.float32)
+        fit8 = pool[2 * d : 2 * d + 1, :] + jnp.zeros((8, mu), jnp.float32)
+        pool_scratch[:] = jnp.concatenate(
+            [pool[0:d, :], zeros_pad, pool[d : 2 * d, :], zeros_pad, fit8], axis=0
+        )
 
-    @pl.when(g == gens - 1)
+        # best-ever tracking (comma selection: the pool resets every
+        # generation). Mosaic cannot broadcast in sublanes and lanes at once,
+        # and XLA fuses chained broadcast_to calls back into one — so every
+        # 2-D broadcast here is an ADD against zeros (one axis at a time,
+        # uncollapsible).
+        gen_best_row = pool[2 * d : 2 * d + 1, 0:1] + jnp.zeros((1, 128), jnp.float32)
+        prev = best_scratch[:]
+        improved_row = gen_best_row < prev[vr : vr + 1, :]  # (1, 128) uniform
+        gen_best_v = pool[0:d, 0:1] + jnp.zeros((d, 128), jnp.float32)
+        gen_best_v = jnp.concatenate(
+            [gen_best_v, jnp.zeros((vr - d, 128), jnp.float32)], axis=0
+        )
+        gen_best_f8 = gen_best_row + jnp.zeros((8, 128), jnp.float32)
+        mask = improved_row & (jnp.zeros((vr + 8, 128), jnp.int32) == 0)
+        new_best = jnp.where(
+            mask,
+            jnp.concatenate([gen_best_v, gen_best_f8], axis=0),
+            prev,
+        )
+        best_scratch[:] = new_best
+        traj_ref[pl.ds(gg, 1), :] = new_best[vr : vr + 1, :]
+        return carry
+
+    jax.lax.fori_loop(0, gpg, gen_body, 0)
+
+    @pl.when(g == steps - 1)
     def _finish():
-        out_pv_ref[:] = pool[0:d, :]
-        out_ps_ref[:] = pool[d : 2 * d, :]
-        out_pf_ref[:] = jnp.broadcast_to(pool[2 * d : 2 * d + 1, :], (8, mu))
-        out_bv_ref[:] = new_best[0:vr, :]
-        out_bf_ref[:] = new_best[vr : vr + 8, :]
+        pool_sc = pool_scratch[:]
+        best = best_scratch[:]
+        out_pv_ref[:] = pool_sc[0:d, :]
+        out_ps_ref[:] = pool_sc[vr : vr + d, :]
+        out_pf_ref[:] = pool_sc[2 * vr : 2 * vr + 8, :]
+        out_bv_ref[:] = best[0:vr, :]
+        out_bf_ref[:] = best[vr : vr + 8, :]
 
 
 @functools.partial(
@@ -212,6 +228,7 @@ def _evolve_kernel(
         "wavetable_size", "sample_rate", "pop_block", "interpret",
         "time_block", "num_frames", "alpha", "beta", "beta_scale",
         "root_two_over_pi", "clamp_values", "min_step", "dft_scale",
+        "gens_per_step",
     ),
 )
 def fused_evolve(
@@ -242,6 +259,7 @@ def fused_evolve(
     clamp_values: bool = False,
     min_step: float = 0.0,
     dft_scale: float = 0.0,
+    gens_per_step: int = 1,
 ):
     """Run ``gens`` complete ES generations in one kernel invocation.
 
@@ -249,6 +267,10 @@ def fused_evolve(
     parent_fitness (mu,), best_values (D,), best_fitness (),
     trajectory (gens,))`` — the trajectory is best-EVER per generation,
     matching ``pipeline.evolve(record_trajectory=True)``.
+
+    ``gens_per_step`` folds that many generations into one grid step
+    (rounded down to a divisor of ``gens``) to amortise the per-grid-step
+    VMEM/DMA base cost; results are bit-identical for any value.
     """
     mu, d = parent_values.shape
     k = dft_packed.shape[0] // 2
@@ -280,9 +302,15 @@ def fused_evolve(
         (vr, 128),
     )
 
+    gpg = max(1, min(gens_per_step, gens))
+    while gens % gpg:
+        gpg -= 1
+    steps = gens // gpg
+
     kernel = functools.partial(
         _evolve_kernel,
-        gens=gens,
+        steps=steps,
+        gpg=gpg,
         blocks=blocks,
         mu=mu,
         d=d,
@@ -322,7 +350,7 @@ def fused_evolve(
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
             jax.ShapeDtypeStruct((gens, 128), jnp.float32),
         ),
-        grid=(gens,),
+        grid=(steps,),
         in_specs=[
             pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
@@ -342,7 +370,7 @@ def fused_evolve(
             pl.BlockSpec((gens, 128), full, memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2 * vr, mu), jnp.float32),
+            pltpu.VMEM((2 * vr + 8, mu), jnp.float32),
             pltpu.VMEM(
                 (n, pb),
                 jnp.int8
