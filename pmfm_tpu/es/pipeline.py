@@ -32,16 +32,15 @@ from .strategy import ESState, evaluate, init_state, mutate, recombine, select
 
 
 def make_spectrum_ops(cfg: ESConfig) -> spectral.SpectrumOps:
-    dtype = cfg.dft_dtype
-    if dtype == "int8" and cfg.topology not in ("fm2", "fm3_series"):
-        # the int8 engine factors ONE output amplitude out of the audio;
-        # fm3_parallel sums three, so it stays on bf16
-        dtype = "bfloat16"
+    # all topologies support the int8 engine: fm2/fm3_series factor their
+    # single output amplitude out of the audio; fm3_parallel factors the
+    # mean amplitude s and scales each pair by amp_j*127/(3s) in-kernel
+    # (kernels/synth_fitness.py _evaluate_block docstring)
     return spectral.make_spectrum_ops(
         cfg.n_samples,
         num_bins=cfg.num_bins,
         method=cfg.spectrum_method,
-        dft_dtype=jnp.dtype(dtype),
+        dft_dtype=jnp.dtype(cfg.dft_dtype),
     )
 
 

@@ -103,8 +103,11 @@ def _evaluate_block(
     coefficients, the scratch holds round(127*unit_audio) int8, the DFT
     matmul accumulates EXACTLY in int32 against the quantised
     SpectrumOps.dft_packed, and the magnitude is rescaled by
-    |amp| * dft_scale per candidate. fm3_parallel sums three amplitudes so
-    it stays on the bf16 engine (pipeline.make_spectrum_ops downgrades it).
+    |amp| * dft_scale per candidate. For fm3_parallel (three summed
+    amplitudes) the factored scalar is s = mean_j |amp_j|: each pair's
+    output is scaled by amp_j * 127/(3s) at runtime (a multiply the bf16
+    path pays anyway), which bounds the normalised sum to |.| <= 127; the
+    magnitude rescale is s * dft_scale.
     """
     # Everything runs in TURNS (phase / wavetable_size): the wrap "mod wts"
     # becomes frac(x) = x - floor(x) (no division), and the oscillator is a
@@ -117,11 +120,6 @@ def _evaluate_block(
     inv_sr = jnp.float32(w2sr / wts)  # = 1 / sample_rate
     nb = n // c
     int8_mode = dft_scale > 0.0
-    if int8_mode and topology not in ("fm2", "fm3_series"):
-        raise NotImplementedError(
-            "int8 DFT engine needs a single output amplitude to factor out; "
-            f"topology {topology!r} is unsupported (use bf16)"
-        )
 
     def frac(x):
         return x - jnp.floor(x)
@@ -185,11 +183,25 @@ def _evaluate_block(
         offs1 = [zeros() for _ in pairs]
         offs2 = [zeros() for _ in pairs]
 
+    multi_pair = pairs is not None and len(pairs) > 1
     if int8_mode:
         # the factored-out output amplitude, rescaled into the magnitude
         # spectrum after the exact int32 matmul (see docstring)
-        amp_row = m3 if topology == "fm3_series" else pairs[0][2]  # (1, PB)
-        mag_scale = jnp.abs(amp_row) * jnp.float32(dft_scale)  # (1, PB)
+        if topology == "fm3_series":
+            amp_row = jnp.abs(m3)  # (1, PB)
+        elif multi_pair:
+            # fm3_parallel: factor out s = mean_j |amp_j|; the per-pair
+            # runtime gains amp_j*127/(3s) bound the summed audio to +-127
+            amp_row = sum(
+                jnp.abs(amp) for (_, _, amp, _) in pairs
+            ) / jnp.float32(len(pairs))
+            inv_s = jnp.float32(127.0) / (
+                jnp.float32(len(pairs)) * amp_row + jnp.float32(1e-30)
+            )
+            gains = [amp * inv_s for (_, _, amp, _) in pairs]
+        else:
+            amp_row = jnp.abs(pairs[0][2])
+        mag_scale = amp_row * jnp.float32(dft_scale)  # (1, PB)
 
     # Per-sample phase increments |w2sr*cur| < ~0.75*(fmax*imax+imax) stay far
     # below wts, and intra-block sums stay < C*0.64 in f32 to ~5e-6 turns, so
@@ -220,11 +232,16 @@ def _evaluate_block(
                 x = osc(pos1) * im_ + ic_
                 pre, tot = ex_prefix(x)
                 pos2 = pre + offs2[j]
-                o = osc_out(pos2) if int8_mode else osc(pos2) * amp
+                if int8_mode and multi_pair:
+                    o = osc(pos2) * gains[j]  # gain folds 127, 1/3 and amp_j/s
+                elif int8_mode:
+                    o = osc_out(pos2)
+                else:
+                    o = osc(pos2) * amp
                 out = o if out is None else out + o
                 offs2[j] = frac(offs2[j] + tot)
                 offs1[j] = frac(offs1[j] + incs_blk[j])
-            if len(pairs) > 1:
+            if multi_pair and not int8_mode:
                 out = out / jnp.float32(len(pairs))
         # audio is QUANTISED in both modes: round(127*x) int8, or bf16 (the
         # scratch dtype is bf16 on hardware and f32 under plain interpret —

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..es.config import ESConfig
-from ..es.strategy import ESState, evaluate, mutate, recombine, select
+from ..es.strategy import ESState, _fused_ok, evaluate, mutate, recombine, select
 from ..ops import spectral, synthesis
 from .mesh import FRAME_AXIS, POP_AXIS
 
@@ -67,11 +67,12 @@ def _evaluate_frames_local(
     with ``psum`` over the frame axis reproduces the unsharded multi-frame
     fitness exactly (modulo float reassociation).
 
-    The fused Pallas kernel is not used on this path: under SPMD every device
-    runs the same program and the kernel's frame loop is unrolled at trace
-    time, so a per-device frame window cannot be folded into it without
-    predicating each DFT matmul — the XLA engines handle the dynamic slice
-    natively.
+    The fused Pallas kernel is not used on the FRAME-sharded path (it is on
+    the pure population-sharded one — see ``sharded_generation_step``): under
+    SPMD every device runs the same program and the kernel's frame loop is
+    unrolled at trace time, so a per-device frame window cannot be folded
+    into it without predicating each DFT matmul — the XLA engines handle the
+    dynamic slice natively.
     """
     mins = jnp.asarray(cfg.param_mins, jnp.float32)
     maxs = jnp.asarray(cfg.param_maxs, jnp.float32)
@@ -101,12 +102,21 @@ def sharded_generation_step(
     spectrum_ops: spectral.SpectrumOps,
     cfg: ESConfig,
     mesh: Mesh,
+    interpret: bool = False,
 ) -> ESState:
     """One ES generation with the population sharded over ``mesh``.
 
     State (parents + best + key) is replicated; the offspring population only
     ever exists shard-local inside this function. The returned state is again
     replicated (all devices compute the identical merge).
+
+    When the fused per-generation Pallas kernel applies (same conditions as
+    the single-chip ``pipeline.generation_step``) and the mesh does not shard
+    frames, each shard runs it on its local population slice — multi-chip
+    keeps the single-chip kernel throughput; only the O(mu) selection merge
+    is collective. ``interpret=True`` forces the kernel's interpreter mode so
+    the sharded-fused plumbing is testable on a CPU virtual mesh (interpreter
+    PRNG draws are degenerate — structure only, like the kernel unit tests).
     """
     n_shards = int(mesh.shape[POP_AXIS])
     lcfg = _local_cfg(cfg, n_shards)
@@ -124,15 +134,60 @@ def sharded_generation_step(
     else:
         frames_local = cfg.num_frames
 
+    # same gating as pipeline.generation_step (kernel PRNG is TPU-only; the
+    # interpreter override exists for structural tests on the CPU mesh)
+    use_fused = (
+        n_frame_shards == 1
+        and cfg.fused_generation
+        and _fused_ok(lcfg, spectrum_ops)
+        and cfg.gauss_sigma == 1.0 / 6.0
+        and (interpret or jax.default_backend() != "cpu")
+    )
+
     def step(state: ESState) -> ESState:
         ax = jax.lax.axis_index(POP_AXIS)
         key, k_next = jax.random.split(state.key)
         k_local = jax.random.fold_in(key, ax)
         k_rec, k_mut = jax.random.split(k_local)
 
-        values, steps = recombine(k_rec, state.parent_values, state.parent_steps, lcfg)
-        values, steps = mutate(k_mut, values, steps, lcfg)
-        if n_frame_shards > 1:
+        if use_fused:
+            from ..kernels.generation import fused_generation
+
+            seed = jax.random.randint(k_rec, (), 0, 2**31 - 1)
+            fitness, values, steps = fused_generation(
+                seed,
+                state.parent_values,
+                state.parent_steps,
+                spectrum_ops.dft_cos,
+                spectrum_ops.dft_sin,
+                target_spectrum,
+                pop=lcfg.population_size,
+                param_mins=cfg.param_mins,
+                param_maxs=cfg.param_maxs,
+                topology=cfg.topology,
+                n=cfg.n_samples,
+                wavetable_size=cfg.wavetable_size,
+                sample_rate=cfg.sample_rate,
+                pop_block=cfg.pop_block,
+                interpret=interpret,
+                num_frames=cfg.num_frames,
+                alpha=cfg.alpha,
+                beta=cfg.beta,
+                beta_scale=cfg.beta_scale,
+                root_two_over_pi=cfg.root_two_over_pi,
+                clamp_values=cfg.clamp_values,
+                min_step=cfg.min_step,
+                dft_packed=spectrum_ops.dft_packed,
+                dft_scale=spectrum_ops.dft_packed_scale,
+            )
+        else:
+            values, steps = recombine(
+                k_rec, state.parent_values, state.parent_steps, lcfg
+            )
+            values, steps = mutate(k_mut, values, steps, lcfg)
+        if use_fused:
+            pass  # fitness computed in-kernel above
+        elif n_frame_shards > 1:
             # the key folds in only the pop index, so every frame-shard of a
             # pop shard generates identical offspring; each scores its own
             # frame window and the psum reassembles the full fitness
@@ -195,6 +250,7 @@ def evolve_sharded(
     cfg: ESConfig,
     mesh: Mesh,
     record_trajectory: bool = False,
+    interpret: bool = False,
 ):
     """scan over sharded generations — the multi-chip executeAllGenerations."""
     step = partial(
@@ -203,6 +259,7 @@ def evolve_sharded(
         spectrum_ops=spectrum_ops,
         cfg=cfg,
         mesh=mesh,
+        interpret=interpret,
     )
     if cfg.fitness_threshold > 0.0 and not record_trajectory:
         # local iteration counter: num_generations is relative to the input

@@ -188,7 +188,9 @@ class TestInt8Engine:
             spectrum_method="dft", dft_dtype=dft_dtype, pop_block=128, **kw,
         )
 
-    @pytest.mark.parametrize("topology,d", [("fm2", 4), ("fm3_series", 6)])
+    @pytest.mark.parametrize(
+        "topology,d", [("fm2", 4), ("fm3_series", 6), ("fm3_parallel", 12)]
+    )
     def test_rank_agreement_vs_f32(self, topology, d):
         cfg8 = self._cfg(topology, d, "int8", fused_kernel=True)
         cfg32 = self._cfg(topology, d, "float32")
@@ -206,11 +208,13 @@ class TestInt8Engine:
         assert top8[0] == top32[0]
         assert len(set(top8) & set(top32)) >= 15
 
-    def test_parallel_topology_downgrades_to_bf16(self):
+    def test_parallel_topology_int8_supported(self):
+        """fm3_parallel factors the mean amplitude out (three summed pairs),
+        so it gets the int8 engine too — no bf16 downgrade."""
         cfg = self._cfg("fm3_parallel", 12, "int8")
         so = make_spectrum_ops(cfg)
-        assert so.dft_packed.dtype == jnp.bfloat16
-        assert so.dft_packed_scale == 0.0
+        assert so.dft_packed.dtype == jnp.int8
+        assert so.dft_packed_scale > 0.0
 
     def test_generation_step_int8(self):
         """Full generation_step pipeline with the int8 engine (XLA fallback

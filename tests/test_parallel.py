@@ -111,6 +111,15 @@ class TestShardedStep:
 
 
 class TestShardedFused:
+    @pytest.fixture(scope="class")
+    def mesh4(self):
+        # the interpret-lowered whole-generation kernel deadlocks XLA:CPU's
+        # multi-partition executor at 8 partitions on this 2-core box
+        # (4 partitions fine, 0% CPU hang at 8 — runtime scheduling limit,
+        # pure-XLA program with no callbacks); the structural tests only
+        # need >1 shard, so they use a 4-device submesh
+        return make_mesh(shape=(4,))
+
     def test_sharded_step_with_fused_kernel_interpret(self, mesh, tspec):
         """The Pallas kernel must compose with shard_map (per-shard local
         evaluate)."""
@@ -126,6 +135,49 @@ class TestShardedFused:
         assert np.isfinite(np.asarray(out.parent_fitness)).all()
         pf = np.asarray(out.parent_fitness)
         assert np.all(np.diff(pf) >= 0)
+
+    def test_sharded_step_fused_generation_interpret(self, mesh4, tspec):
+        """The whole-generation kernel runs per shard (the population-sharded
+        multi-chip fast path); interpreter mode exercises the plumbing on the
+        CPU mesh (the interpreter PRNG is degenerate — structure only, as in
+        the kernel unit tests)."""
+        from pmfm_tpu.es import make_spectrum_ops
+
+        cfg = CFG.replace(
+            fused_kernel=True, fused_generation=True, pop_block=8,
+            synthesis_engine="scanless", dft_dtype="bfloat16",
+        )
+        so = make_spectrum_ops(cfg)
+        state = init_state(jax.random.PRNGKey(12), cfg)
+        # jit: eager shard_map dispatches the interpreted kernel op-by-op
+        # per shard (minutes); compiled it is instant
+        step = jax.jit(
+            lambda s: sharded_generation_step(
+                s, tspec, so, cfg, mesh4, interpret=True
+            )
+        )
+        out = step(state)
+        pf = np.asarray(out.parent_fitness)
+        assert np.isfinite(pf).all()
+        assert np.all(np.diff(pf) >= 0)
+        assert float(out.best_fitness) == pf[0]
+        assert int(out.generation) == 1
+
+    def test_evolve_sharded_fused_generation_interpret(self, mesh4, tspec):
+        from pmfm_tpu.es import make_spectrum_ops
+
+        cfg = CFG.replace(
+            fused_kernel=True, fused_generation=True, pop_block=8,
+            synthesis_engine="scanless", dft_dtype="bfloat16",
+        )
+        so = make_spectrum_ops(cfg)
+        state = init_state(jax.random.PRNGKey(13), cfg)
+        final, traj = evolve_sharded(state, tspec, 3, so, cfg, mesh4,
+                                     record_trajectory=True, interpret=True)
+        assert int(final.generation) == 3
+        t = np.asarray(traj)
+        assert t.shape == (3,)
+        assert np.all(np.diff(t) <= 1e-7)  # best-ever monotone
 
 
 class TestFrameSharded:

@@ -24,6 +24,11 @@ def main():
     ap.add_argument("--log2", type=int, default=9)
     ap.add_argument("--gens", type=int, default=10)
     ap.add_argument("--csv", default=None)
+    ap.add_argument(
+        "--fused", action="store_true",
+        help="per-shard fused generation kernel (int8 engine) — the "
+        "single-chip bench engine; TPU only",
+    )
     args = ap.parse_args()
 
     import jax
@@ -48,7 +53,10 @@ def main():
             topology="fm3_series",
             audio_length_log2=args.log2,
             synthesis_engine="scanless",
-            dft_dtype="bfloat16",
+            dft_dtype="int8" if args.fused else "bfloat16",
+            fused_kernel=args.fused,
+            fused_generation=args.fused,
+            pop_block=1024,
         )
         so = make_spectrum_ops(cfg)
         tspec = jnp.ones((so.num_bins,), jnp.float32)
