@@ -131,6 +131,53 @@ class TestFusedEvolve:
         assert float(out[4]) <= float(bf) + 1e-9
 
 
+class TestFusedEvolveInt8Parallel:
+    """Whole-run kernel on the int8 engine with fm3_parallel (mean-amp
+    factoring): int8 dots are exact on CPU interpret, so the re-eval
+    invariant holds exactly here too."""
+
+    D12 = 12
+    MAXS12 = tuple(([3520.0, 8.0, 3520.0, 1.0] * 3)[:12])
+
+    def _setup(self):
+        so = ops.make_spectrum_ops(N, method="dft", dft_dtype=jnp.int8)
+        true = jnp.asarray(
+            [880.0, 2.0, 1760.0, 0.9, 440.0, 1.0, 660.0, 0.5, 1200.0, 3.0,
+             990.0, 0.7], jnp.float32)
+        tgt_audio = ops.synthesize(true[None], N, "fm3_parallel", engine="scanless")
+        tgt = ops.magnitude_spectrum(tgt_audio, so)[0]
+        return so, tgt
+
+    def test_invariants_and_reeval(self):
+        from pmfm_tpu.kernels.synth_fitness import fused_synth_fitness
+
+        so, tgt = self._setup()
+        assert so.dft_packed.dtype == jnp.int8 and so.dft_packed_scale > 0
+        key = jax.random.PRNGKey(1)
+        pv = jax.random.uniform(key, (MU, self.D12))
+        ps = jnp.full((MU, self.D12), 0.1)
+        pv_o, ps_o, pf, bv, bf, traj = fused_evolve(
+            jnp.int32(11), pv, ps, pv[0], jnp.float32(np.inf),
+            so.dft_packed, tgt, gens=5, pop=POP,
+            param_mins=(0.0,) * self.D12, param_maxs=self.MAXS12,
+            topology="fm3_parallel", n=N, pop_block=8, interpret=True,
+            dft_scale=so.dft_packed_scale,
+        )
+        pf = np.asarray(pf)
+        assert np.all(np.diff(pf) >= 0)
+        assert np.isfinite(pf).all() and pf[0] < _BIG
+        assert np.all(np.diff(np.asarray(traj)) <= 1e-7)
+        scaled = np.asarray(pv_o) * np.asarray(self.MAXS12, np.float32)
+        fit2 = np.asarray(
+            fused_synth_fitness(
+                jnp.asarray(scaled), so.dft_cos, so.dft_sin, tgt,
+                topology="fm3_parallel", n=N, pop_block=8, interpret=True,
+                dft_packed=so.dft_packed, dft_scale=so.dft_packed_scale,
+            )
+        )
+        np.testing.assert_array_equal(fit2, pf)
+
+
 class TestEvolveMegaWrapper:
     def test_state_bookkeeping(self, setup):
         from pmfm_tpu.es import ESConfig, init_state
