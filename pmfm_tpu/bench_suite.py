@@ -71,6 +71,7 @@ def _base_cfg(args, **over):
         spectrum_method="dft",
         dft_dtype="bfloat16",
         fused_kernel=args.fused,
+        pop_block=1024,  # tuned bench value (CLAUDE.md perf notes)
     )
     kw.update(over)
     return ESConfig(**kw)
@@ -173,6 +174,12 @@ def suite_optimizations(args, bm):
         "fused-generation": dict(synthesis_engine="scanless", spectrum_method="dft",
                                  dft_dtype="bfloat16", fused_kernel=True,
                                  fused_generation=True),
+        "fused-generation+int8": dict(synthesis_engine="scanless",
+                                      spectrum_method="dft", dft_dtype="int8",
+                                      fused_kernel=True, fused_generation=True),
+        "whole-run+int8": dict(synthesis_engine="scanless", spectrum_method="dft",
+                               dft_dtype="int8", fused_kernel=True,
+                               fused_generation=True, fused_evolve=True),
     }
     for name, over in variants.items():
         cfg = _base_cfg(args, **over)
