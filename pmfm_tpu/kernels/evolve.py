@@ -110,9 +110,9 @@ def _evolve_kernel(
     out_bf_ref,  # (8, 128) f32 out — best-ever fitness at [0, 0]
     traj_ref,  # (G, 128) f32 out — best-ever fitness per generation (col 0)
     pool_scratch,  # (2*VR + 8, MU) f32 — parents (+fitness rows) across gens
-    audio_scratch,  # (N, PB) bf16
     best_scratch,  # (VR + 8, 128) f32 — rows [0:VR) values, row VR fitness
-    *,
+    *audio_scratches,  # bf16: (N, PB) audio; int8: two (N/2, PB) folded a+/a-
+
     steps: int,
     gpg: int,
     blocks: int,
@@ -168,7 +168,8 @@ def _evolve_kernel(
             new_x, new_s = _offspring_block(pv, ps, **off_kw)
             p_scaled = _scale_rows(new_x, mins, maxs, d)
             fit = _evaluate_block(
-                p_scaled, dft_ref, target_ref, tri_ref[:], audio_scratch, **statics
+                p_scaled, dft_ref, target_ref, tri_ref[:], *audio_scratches,
+                **statics
             )  # (1, PB)
             blockstk = jnp.concatenate([new_x, new_s, fit], axis=0)  # (2D+1, PB)
             return _merge_topmu(pool, blockstk, mu)
@@ -281,8 +282,14 @@ def fused_evolve(
     if n % time_block:
         raise ValueError(f"n={n} must be a multiple of {time_block}")
     blocks = pop // pb
-    if dft_scale > 0.0 and dft_packed.dtype != jnp.int8:
-        raise ValueError("int8 engine needs the int8 SpectrumOps.dft_packed")
+    if dft_scale > 0.0:
+        if dft_packed.dtype != jnp.int8:
+            raise ValueError("int8 engine needs the int8 SpectrumOps.dft_packed")
+        if dft_packed.shape[1] != n // 2:
+            raise ValueError(
+                f"int8 dft_packed must be the FOLDED (2K, N/2) operand, got "
+                f"{dft_packed.shape} for n={n}"
+            )
     # int8 operands stay int8 under interpret (CPU int8 dots are exact too);
     # bf16 upcasts to f32 (XLA:CPU has no bf16 dot kernel)
     dft = (
@@ -357,7 +364,7 @@ def fused_evolve(
             pl.BlockSpec((d, mu), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((d, mu), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((vr, 128), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * k, n), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * k, dft.shape[1]), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((k, num_frames), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((time_block + 8, time_block), full, memory_space=pltpu.VMEM),
         ],
@@ -371,14 +378,15 @@ def fused_evolve(
         ),
         scratch_shapes=[
             pltpu.VMEM((2 * vr + 8, mu), jnp.float32),
-            pltpu.VMEM(
-                (n, pb),
-                jnp.int8
-                if dft_scale > 0.0
-                else (jnp.float32 if interpret else jnp.bfloat16),
-            ),
             pltpu.VMEM((vr + 8, 128), jnp.float32),
-        ],
+        ] + (
+            [
+                pltpu.VMEM((n // 2, pb), jnp.int8),  # folded a+
+                pltpu.VMEM((n // 2, pb), jnp.int8),  # folded a-
+            ]
+            if dft_scale > 0.0
+            else [pltpu.VMEM((n, pb), jnp.float32 if interpret else jnp.bfloat16)]
+        ),
         **kwargs,
     )(
         seed.astype(jnp.int32).reshape(1, 1),

@@ -129,8 +129,7 @@ def _gen_kernel(
     fitness_ref,  # (G, PB) f32 out
     values_ref,  # (D, P) f32 out — offspring values (transposed)
     steps_ref,  # (D, P) f32 out
-    audio_scratch,  # (N, PB) bf16 — one frame of candidate audio
-    *,
+    *scratches,  # bf16: (N, PB) audio; int8: two (N/2, PB) folded a+/a-
     mu: int,
     d: int,
     alpha: float,
@@ -159,7 +158,7 @@ def _gen_kernel(
     mins = statics.pop("mins")
     maxs = statics.pop("maxs")
     p_scaled = _scale_rows(new_x, mins, maxs, d)
-    fit = _evaluate_block(p_scaled, dft_ref, target_ref, tri_ref[:], audio_scratch, **statics)
+    fit = _evaluate_block(p_scaled, dft_ref, target_ref, tri_ref[:], *scratches, **statics)
     fitness_ref[pl.ds(i, 1), :] = fit
 
 
@@ -215,6 +214,11 @@ def fused_generation(
     if dft_scale > 0.0:
         if dft_packed is None or dft_packed.dtype != jnp.int8:
             raise ValueError("int8 engine needs the int8 SpectrumOps.dft_packed")
+        if dft_packed.shape[1] != n // 2:
+            raise ValueError(
+                f"int8 dft_packed must be the FOLDED (2K, N/2) operand, got "
+                f"{dft_packed.shape} for n={n}"
+            )
         dft = dft_packed  # int8 in BOTH modes: CPU int8 dots are exact too
     elif dft_packed is not None:
         # precomputed (2K, N) bf16 — XLA does not hoist the rebuild below out
@@ -277,7 +281,7 @@ def fused_generation(
             pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),
             pl.BlockSpec((d, mu), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((d, mu), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * k, n), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * k, dft.shape[1]), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((k, num_frames), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((time_block + 8, time_block), full, memory_space=pltpu.VMEM),
         ],
@@ -286,14 +290,14 @@ def fused_generation(
             pl.BlockSpec((d, pop), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((d, pop), full, memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM(
-                (n, pb),
-                jnp.int8
-                if dft_scale > 0.0
-                else (jnp.float32 if interpret else jnp.bfloat16),
-            )
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((n // 2, pb), jnp.int8),  # folded a+
+                pltpu.VMEM((n // 2, pb), jnp.int8),  # folded a-
+            ]
+            if dft_scale > 0.0
+            else [pltpu.VMEM((n, pb), jnp.float32 if interpret else jnp.bfloat16)]
+        ),
         **kwargs,
     )(
         seed.astype(jnp.int32).reshape(1, 1),

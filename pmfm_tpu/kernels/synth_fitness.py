@@ -71,11 +71,11 @@ def _sin_turns(w, scale: float = 1.0):
 
 def _evaluate_block(
     p,  # (D, PB) f32 scaled params — lanes = candidates
-    dft_ref,  # (2K, N) bf16 (or int8, see dft_scale) ref
+    dft_ref,  # (2K, N) bf16 ref — or FOLDED (2K, N/2) int8 (see dft_scale)
     target_ref,  # (K, F) f32 ref
     tri,  # (C+8, C) f32 prefix matrix + ones row (loaded)
-    audio_scratch,  # (N, PB) bf16/int8 VMEM ref — one frame of candidate audio
-    *,
+    *scratches,  # bf16: one (N, PB) audio scratch; int8: two (N/2, PB)
+    #              folded-audio scratches a+ / a- (see spectral.SpectrumOps)
     topology: str,
     n: int,
     pb: int,
@@ -99,14 +99,23 @@ def _evaluate_block(
     ``dft_scale > 0`` selects the INT8 engine (v5e int8 MXU rate is 2x bf16
     and both big VMEM buffers halve): the single output amplitude of
     fm2/fm3_series is factored out of the audio (magnitudes are linear in
-    it), the final oscillator emits 127*sin via scaled polynomial
-    coefficients, the scratch holds round(127*unit_audio) int8, the DFT
-    matmul accumulates EXACTLY in int32 against the quantised
-    SpectrumOps.dft_packed, and the magnitude is rescaled by
+    it), the final oscillator emits 63*sin via scaled polynomial
+    coefficients, and the DFT runs FOLDED (spectral.SpectrumOps docs): the
+    reference window satisfies w[N-n] = w[n], so the windowed spectrum is
+    two half-length transforms over a+/- [n] = q[n] +- q[N-n]
+    (q = round(63*unit_audio), |a| <= 126 int8) plus an x[N/2] edge term —
+    HALF the matmul FLOPs and operand bytes of the naive (2K, N) form. The
+    time loop writes q directly into a+ rows for the first half-frame; each
+    second-half block is reversed by a one-hot (C, C) int8 matmul and
+    read-modify-written into the aligned a+/a- row window one block late
+    (sample N-m for m in block b lands at rows [N-(b+1)C, N-bC) and needs
+    the NEXT block's first sample, carried in a register). Both (K, N/2)
+    matmuls accumulate EXACTLY in int32 against the quantised
+    SpectrumOps.dft_packed halves; the magnitude is rescaled by
     |amp| * dft_scale per candidate. For fm3_parallel (three summed
     amplitudes) the factored scalar is s = mean_j |amp_j|: each pair's
-    output is scaled by amp_j * 127/(3s) at runtime (a multiply the bf16
-    path pays anyway), which bounds the normalised sum to |.| <= 127; the
+    output is scaled by amp_j * 63/(3s) at runtime (a multiply the bf16
+    path pays anyway), which bounds the normalised sum to |.| <= 63; the
     magnitude rescale is s * dft_scale.
     """
     # Everything runs in TURNS (phase / wavetable_size): the wrap "mod wts"
@@ -120,6 +129,15 @@ def _evaluate_block(
     inv_sr = jnp.float32(w2sr / wts)  # = 1 / sample_rate
     nb = n // c
     int8_mode = dft_scale > 0.0
+    if int8_mode:
+        if nb % 2:
+            raise ValueError(
+                f"int8 folded engine needs an even block count: n={n}, C={c}"
+            )
+        a_plus, a_minus = scratches
+        nhb = nb // 2
+    else:
+        (audio_scratch,) = scratches
 
     def frac(x):
         return x - jnp.floor(x)
@@ -127,9 +145,10 @@ def _evaluate_block(
     def osc(x):  # sin(2*pi*x) for any x; round-reduce to [-0.5, 0.5] turns
         return _sin_turns(x - jnp.floor(x + 0.5))
 
-    def osc_out(x):  # OUTPUT oscillator: 127*sin in int8 mode (gain is free
-        # — folded into the polynomial coefficients, see _sin_turns)
-        return _sin_turns(x - jnp.floor(x + 0.5), 127.0 if int8_mode else 1.0)
+    def osc_out(x):  # OUTPUT oscillator: 63*sin in int8 mode (gain is free
+        # — folded into the polynomial coefficients, see _sin_turns; 63 keeps
+        # the folded sums a+/- = q[n] +- q[N-n] within int8)
+        return _sin_turns(x - jnp.floor(x + 0.5), 63.0 if int8_mode else 1.0)
 
     def row(i):  # (1, PB)
         return p[i : i + 1, :]
@@ -191,11 +210,11 @@ def _evaluate_block(
             amp_row = jnp.abs(m3)  # (1, PB)
         elif multi_pair:
             # fm3_parallel: factor out s = mean_j |amp_j|; the per-pair
-            # runtime gains amp_j*127/(3s) bound the summed audio to +-127
+            # runtime gains amp_j*63/(3s) bound the summed audio to +-63
             amp_row = sum(
                 jnp.abs(amp) for (_, _, amp, _) in pairs
             ) / jnp.float32(len(pairs))
-            inv_s = jnp.float32(127.0) / (
+            inv_s = jnp.float32(63.0) / (
                 jnp.float32(len(pairs)) * amp_row + jnp.float32(1e-30)
             )
             gains = [amp * inv_s for (_, _, amp, _) in pairs]
@@ -211,6 +230,38 @@ def _evaluate_block(
     # matmul produces the spectrum.
     dn_std = (((1,), (0,)), ((), ()))
     fit = jnp.zeros((1, pb), jnp.float32)
+    if int8_mode:
+        # constants for the folded-audio bookkeeping (docstring): a one-hot
+        # reversal matrix (row j <- sample C-j; row 0 stays zero for the
+        # carried next-block sample), a row-index mask, and the x[N/2] edge
+        # coefficient 127*(-1)^k (= the exact quantisation of 63.5*w[N/2],
+        # w[N/2] = 2 — the window's peak)
+        i0 = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+        p_rev = ((i0 + i1) == c).astype(jnp.int8)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (c, pb), 0)
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+        edge_coef = (
+            jnp.float32(127.0)
+            - jnp.float32(254.0) * (k_iota % 2).astype(jnp.float32)
+        )  # (K, 1)
+        prev_q = None
+        edge_q = None
+
+        def emit(r0, prev_q, nxt):
+            """Fold one delayed second-half block into the a+/a- rows
+            [r0, r0+C): reversed prev rows 1..C-1 plus (optionally) the next
+            block's first sample at row 0."""
+            asm = jax.lax.dot_general(
+                p_rev, prev_q, dn_std, preferred_element_type=jnp.int32
+            )
+            if nxt is not None:
+                q0 = jnp.zeros((c, pb), jnp.int32) + nxt[0:1, :].astype(jnp.int32)
+                asm = jnp.where(row_iota == 0, q0, asm)
+            old = a_plus[pl.ds(r0, c), :].astype(jnp.int32)
+            a_plus[pl.ds(r0, c), :] = (old + asm).astype(jnp.int8)
+            a_minus[pl.ds(r0, c), :] = (old - asm).astype(jnp.int8)
+
     for b in range(nb * num_frames):
         bf = b % nb  # block index within the current frame
         if topology == "fm3_series":
@@ -233,7 +284,7 @@ def _evaluate_block(
                 pre, tot = ex_prefix(x)
                 pos2 = pre + offs2[j]
                 if int8_mode and multi_pair:
-                    o = osc(pos2) * gains[j]  # gain folds 127, 1/3 and amp_j/s
+                    o = osc(pos2) * gains[j]  # gain folds 63, 1/3 and amp_j/s
                 elif int8_mode:
                     o = osc_out(pos2)
                 else:
@@ -243,36 +294,59 @@ def _evaluate_block(
                 offs1[j] = frac(offs1[j] + incs_blk[j])
             if multi_pair and not int8_mode:
                 out = out / jnp.float32(len(pairs))
-        # audio is QUANTISED in both modes: round(127*x) int8, or bf16 (the
-        # scratch dtype is bf16 on hardware and f32 under plain interpret —
-        # XLA:CPU has no bf16 dot kernel; a bf16 MXU matmul computes exact
-        # products of bf16 values with f32 accumulation, so
-        # quantise-then-upcast is numerically identical)
+        # audio is QUANTISED in both modes: round(63*x) int8 (folded into
+        # a+/a- scratches, see docstring), or bf16 (the scratch dtype is bf16
+        # on hardware and f32 under plain interpret — XLA:CPU has no bf16 dot
+        # kernel; a bf16 MXU matmul computes exact products of bf16 values
+        # with f32 accumulation, so quantise-then-upcast is numerically
+        # identical)
         if int8_mode:
-            audio_scratch[pl.ds(bf * c, c), :] = jnp.round(out).astype(
-                audio_scratch.dtype
-            )
+            q = jnp.round(out).astype(jnp.int8)  # (C, PB) in [-63, 63]
+            if bf < nhb:
+                a_plus[pl.ds(bf * c, c), :] = q
+            else:
+                if bf == nhb:
+                    edge_q = q[0:1, :].astype(jnp.float32)  # 63*x[N/2]
+                else:
+                    emit(n - bf * c, prev_q, q)
+                prev_q = q
         else:
             audio_scratch[pl.ds(bf * c, c), :] = out.astype(jnp.bfloat16).astype(
                 audio_scratch.dtype
             )
         if bf == nb - 1:
-            # frame complete: one near-peak k=N MXU matmul -> spectrum,
-            # then fold the frame's spectral error into the fitness
             f = b // nb
-            spec = jax.lax.dot_general(
-                dft_ref[:],
-                audio_scratch[:],
-                dn_std,
-                preferred_element_type=jnp.int32 if int8_mode else jnp.float32,
-            )  # (2K, PB)
             if int8_mode:
-                spec = spec.astype(jnp.float32)
-            re = spec[:k, :]
-            im = spec[k:, :]
-            mag = jnp.sqrt(re * re + im * im)  # (K, PB)
-            if int8_mode:
-                mag = mag * mag_scale  # |amp| * dft_scale, lane-aligned
+                # last delayed block: rows [0, C) — x[N-m] for m in the final
+                # block; the row-0 slot is n = 0, whose operand column is
+                # zero (w[0] = 0), so no next-sample carry is needed
+                emit(0, prev_q, None)
+                dft = dft_ref[:]  # (2K, N/2) int8
+                u = jax.lax.dot_general(
+                    dft[:k], a_plus[:], dn_std, preferred_element_type=jnp.int32
+                ).astype(jnp.float32)
+                v = jax.lax.dot_general(
+                    dft[k:], a_minus[:], dn_std, preferred_element_type=jnp.int32
+                ).astype(jnp.float32)
+                # x[N/2] edge term (one axis broadcast at a time — Mosaic has
+                # no simultaneous sublane+lane broadcast); integer values stay
+                # < 2^24 so the f32 accumulation remains exact
+                ec = jnp.zeros((k, pb), jnp.float32) + edge_coef
+                eq = jnp.zeros((k, pb), jnp.float32) + edge_q
+                u = u + ec * eq
+                mag = jnp.sqrt(u * u + v * v) * mag_scale  # (K, PB)
+            else:
+                # frame complete: one near-peak k=N MXU matmul -> spectrum,
+                # then fold the frame's spectral error into the fitness
+                spec = jax.lax.dot_general(
+                    dft_ref[:],
+                    audio_scratch[:],
+                    dn_std,
+                    preferred_element_type=jnp.float32,
+                )  # (2K, PB)
+                re = spec[:k, :]
+                im = spec[k:, :]
+                mag = jnp.sqrt(re * re + im * im)  # (K, PB)
             d = mag - target_ref[:, f : f + 1]  # frame target, lane-broadcast
             fit = fit + jnp.sum(d * d, axis=0)[None, :]
     return fit
@@ -284,11 +358,11 @@ def _kernel(
     target_ref,  # (K, F) f32 — one column of target spectrum per STFT frame
     tri_ref,  # (C+8, C) f32 (prefix rows + ones row) strictly lower triangular
     fitness_ref,  # (G, PB) f32 out — full array; program i writes row i
-    audio_scratch,  # (N, PB) bf16 VMEM — one frame of candidate audio
+    *scratches,  # bf16: (N, PB) audio; int8: two (N/2, PB) folded a+/a-
     **statics,
 ):
     fit = _evaluate_block(
-        params_ref[:], dft_ref, target_ref, tri_ref[:], audio_scratch, **statics
+        params_ref[:], dft_ref, target_ref, tri_ref[:], *scratches, **statics
     )
     # Mosaic needs >=(8,128) blocks, so the output block is the full (G, PB)
     # array and each program writes only its own row.
@@ -343,6 +417,11 @@ def fused_synth_fitness(
     if dft_scale > 0.0:
         if dft_packed is None or dft_packed.dtype != jnp.int8:
             raise ValueError("int8 engine needs the int8 SpectrumOps.dft_packed")
+        if dft_packed.shape[1] != n // 2:
+            raise ValueError(
+                f"int8 dft_packed must be the FOLDED (2K, N/2) operand, got "
+                f"{dft_packed.shape} for n={n}"
+            )
         dft = dft_packed  # int8 in BOTH modes: CPU int8 dots are exact too
     elif dft_packed is not None:
         dft = dft_packed  # (2K, N) bf16, precomputed
@@ -379,8 +458,9 @@ def fused_synth_fitness(
     grid = (pop // pb,)
     chains = {"fm2": 1, "fm3_series": 2, "fm3_parallel": 3}[topology]
     cost = pl.CostEstimate(
-        flops=pop * num_frames * (2 * n * 2 * k + chains * 2 * time_block * n),
-        bytes_accessed=pop * d * 4 + n * 2 * k * 2 + pop * 4,
+        # dft.shape[1] = N/2 in the folded int8 mode, N in bf16
+        flops=pop * num_frames * (2 * dft.shape[1] * 2 * k + chains * 2 * time_block * n),
+        bytes_accessed=pop * d * 4 + dft.shape[1] * 2 * k * 2 + pop * 4,
         transcendentals=pop * num_frames * n * (chains + 1),
     )
     kwargs = {}
@@ -394,7 +474,9 @@ def fused_synth_fitness(
         grid=grid,
         in_specs=[
             pl.BlockSpec((d, pb), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (2 * k, dft.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec((k, num_frames), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (time_block + 8, time_block), lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -403,14 +485,14 @@ def fused_synth_fitness(
         out_specs=pl.BlockSpec(
             (pop // pb, pb), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM(
-                (n, pb),
-                jnp.int8
-                if dft_scale > 0.0
-                else (jnp.float32 if interpret else jnp.bfloat16),
-            )
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((n // 2, pb), jnp.int8),  # folded a+
+                pltpu.VMEM((n // 2, pb), jnp.int8),  # folded a-
+            ]
+            if dft_scale > 0.0
+            else [pltpu.VMEM((n, pb), jnp.float32 if interpret else jnp.bfloat16)]
+        ),
         cost_estimate=cost,
         interpret=interpret,
         **kwargs,

@@ -82,13 +82,22 @@ class SpectrumOps(NamedTuple):
     # of a scan body — rebuilding it per generation cost ~0.3 ms/gen at the
     # bench config.
     dft_packed: jax.Array | None = None
-    # int8 mode only (0.0 otherwise): dft_packed holds round(63.5 * cos*w)
-    # WITHOUT the magnitude normalisation (folding norm ~ 1/N into int8 would
-    # quantise every entry to zero). A candidate's audio is stored as
-    # round(127 * unit_audio) with the amplitude factored out (magnitude
-    # spectra are linear in a single amplitude), so the true spectrum is
-    # recovered as |amp| * dft_packed_scale * |int32 matmul|. The int32
-    # accumulation is EXACT (k=N=1024: |sum| <= 1024*127*127 << 2^31), unlike
+    # int8 mode only (0.0 otherwise): dft_packed is the FOLDED operand
+    # (2K, N/2), entries round(63.5 * w[n] * trig(2*pi*k*n/N)) for
+    # n = 0..N/2-1, WITHOUT the magnitude normalisation (folding norm ~ 1/N
+    # into int8 would quantise every entry to zero). The reference window
+    # satisfies w[N-n] = w[n] and the DFT basis cos(th*k*(N-n)) = cos(th*k*n),
+    # sin(th*k*(N-n)) = -sin(th*k*n), so the windowed spectrum folds exactly:
+    #   re[k] = sum_{n<N/2} w[n]cos(..) * (x[n]+x[N-n])  +  w[N/2](-1)^k x[N/2]
+    #   im[k] = sum_{n<N/2} w[n]sin(..) * (x[n]-x[N-n])
+    # (the n=0 row is zero because w[0] = 0). Halves the DFT matmul FLOPs and
+    # the operand bytes; the kernels build the folded audio a+/a- in VMEM and
+    # add the x[N/2] edge term post-matmul (coefficient +-127 = the exact
+    # quantisation of 63.5 * w[N/2]). A candidate's audio is stored as
+    # round(63 * unit_audio) (so |a+/-| <= 126 stays int8) with the amplitude
+    # factored out (magnitude spectra are linear in a single amplitude); the
+    # true spectrum is recovered as |amp| * dft_packed_scale * |int32 matmul|.
+    # The int32 accumulation is EXACT (|sum| <= 512*127*126 << 2^31), unlike
     # the bf16 path's f32-accumulated bf16 products.
     dft_packed_scale: float = 0.0
 
@@ -125,13 +134,17 @@ def make_spectrum_ops(
         dft_cos = jnp.asarray(cos_np.astype(dft_dtype))
         dft_sin = jnp.asarray(sin_np.astype(dft_dtype))
         if int8_mode:
-            # quantise cos*w (range [-2, 2] — the reference window peaks at
-            # 2.0) at 63.5 LSB/unit; norm moves to dft_packed_scale
+            # FOLDED operand (see SpectrumOps docs): rows n = 0..N/2-1 only,
+            # quantised at 63.5 LSB/unit of w*trig (range [-2, 2] — the
+            # reference window peaks at 2.0); norm moves to dft_packed_scale.
+            # Audio is quantised at 63 LSB/unit so the fold sums a+/- =
+            # q[n] +- q[N-n] stay within int8.
+            assert n % 2 == 0, "int8 folded engine needs even n"
             q = np.concatenate(
                 [np.cos(ang) * w[:, None], np.sin(ang) * -w[:, None]], axis=1
-            ).T * 63.5
+            ).T[:, : n // 2] * 63.5
             dft_packed = jnp.asarray(np.round(q).astype(np.int8))
-            dft_packed_scale = norm / (63.5 * 127.0)
+            dft_packed_scale = norm / (63.5 * 63.0)
         else:
             dft_packed = jnp.asarray(
                 np.concatenate([cos_np, sin_np], axis=1).T.astype(np.float32)
