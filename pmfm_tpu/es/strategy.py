@@ -221,6 +221,12 @@ def _fused_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
         and cfg.spectrum_method == "dft"
         and spectrum_ops.dft_cos is not None
         and cfg.n_samples % TIME_BLOCK == 0
+        # the folded int8 engine pairs time blocks (n <-> N-n), so it needs
+        # an even block count; smaller frames fall back to the XLA path
+        and (
+            spectrum_ops.dft_packed_scale == 0.0
+            or cfg.n_samples % (2 * TIME_BLOCK) == 0
+        )
         and spectrum_ops.num_bins % 128 == 0
         and _final_pop_block_ok(cfg)
     )

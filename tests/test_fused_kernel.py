@@ -239,3 +239,27 @@ class TestInt8Engine:
                 n=256, pop_block=8, interpret=True, dft_scale=1e-7,
                 dft_packed=so.dft_packed,  # bf16, not int8
             )
+
+
+class TestInt8SmallFrameFallback:
+    def test_n128_falls_back_to_xla(self):
+        """The folded int8 engine pairs time blocks, so a single-block frame
+        (n = 128) must be rejected by the gating and evaluate via XLA instead
+        of crashing in the kernel."""
+        from pmfm_tpu.es.strategy import _fused_ok, evaluate
+
+        d = 4
+        cfg = ESConfig(
+            num_parents=16, num_offspring=112, num_dimensions=d,
+            topology="fm2", param_mins=(0.0,) * d,
+            param_maxs=(3520.0, 8.0, 3520.0, 1.0), audio_length_log2=7,
+            synthesis_engine="scanless", spectrum_method="dft",
+            dft_dtype="int8", fused_kernel=True, pop_block=128,
+        )
+        so = make_spectrum_ops(cfg)
+        assert so.dft_packed_scale > 0.0
+        assert not _fused_ok(cfg, so)
+        vals = jax.random.uniform(jax.random.PRNGKey(0), (128, d))
+        tgt = jnp.ones((so.num_bins,), jnp.float32)
+        fit = np.asarray(evaluate(vals, tgt, so, cfg))
+        assert np.isfinite(fit).all()
