@@ -116,6 +116,38 @@ class TestFusedMultiFrame:
         assert f[0] < 1e-4 * np.median(f)  # candidate 0 made the target
         assert list(np.argsort(f)) == list(np.argsort(u))
 
+    def test_int8_multiframe_matches_f32_ranking(self):
+        """The folded int8 engine's per-frame fold state (edge register,
+        delayed reversal carry) must reset cleanly at frame boundaries:
+        rankings must agree with the f32 STFT fitness and the planted
+        candidate must win."""
+        from pmfm_tpu.ops.spectral import stft_fitness, target_spectrum_frames
+
+        n, frames, pop = 256, 3, 8
+        rng = np.random.default_rng(3)
+        maxs = np.asarray([3520.0, 8.0, 3520.0, 8.0, 3520.0, 8.0], np.float32)
+        scaled = (rng.uniform(0.1, 0.9, (pop, 6)).astype(np.float32)) * maxs
+        so8 = ops.make_spectrum_ops(n, method="dft", dft_dtype=jnp.int8)
+        assert so8.dft_packed_scale > 0.0
+        tgt_audio = ops.synthesize(
+            jnp.asarray(scaled[:1]), n * frames, "fm3_series", engine="scanless"
+        )
+        tgt_frames = target_spectrum_frames(tgt_audio[:, 0], so8)
+        fused = fused_synth_fitness(
+            jnp.asarray(scaled), so8.dft_cos, so8.dft_sin, tgt_frames,
+            topology="fm3_series", n=n, pop_block=8, interpret=True,
+            num_frames=frames, dft_packed=so8.dft_packed,
+            dft_scale=so8.dft_packed_scale,
+        )
+        so32 = ops.make_spectrum_ops(n, method="dft")
+        audio = ops.synthesize(jnp.asarray(scaled), n * frames, "fm3_series",
+                               engine="scanless")
+        unfused = stft_fitness(audio, tgt_frames, so32)
+        f, u = np.asarray(fused), np.asarray(unfused)
+        assert np.isfinite(f).all()
+        assert f[0] < 1e-3 * np.median(f)  # candidate 0 made the target
+        assert list(np.argsort(f)) == list(np.argsort(u))
+
     def test_via_stft_matcher(self):
         from pmfm_tpu.es import ESConfig, match_audio_stft
 
