@@ -229,7 +229,34 @@ def _fused_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
         )
         and spectrum_ops.num_bins % 128 == 0
         and _final_pop_block_ok(cfg)
+        and _fused_vmem_ok(cfg, spectrum_ops)
     )
+
+
+def _fused_vmem_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
+    """Whether the kernel's VMEM-resident buffers fit the ~16 MB scoped
+    budget (large frames fall back to the XLA engines instead of failing at
+    compile — e.g. bf16 n=4096's (2K, N) operand alone is 32 MB)."""
+    n, k = cfg.n_samples, spectrum_ops.num_bins
+    pop = cfg.population_size
+    pb = min(cfg.pop_block, pop)
+    while pop % pb:
+        pb //= 2
+    int8_mode = spectrum_ops.dft_packed_scale > 0.0
+    if int8_mode:
+        dft_bytes = 2 * k * (n // 2)  # folded int8 operand
+        scratch_bytes = 2 * (n // 2) * pb  # a+ / a- int8
+    else:
+        dft_bytes = 2 * k * n * 2  # bf16
+        scratch_bytes = n * pb * 2
+    # params/target/tri/fitness, the generation kernel's (D, P) offspring
+    # outputs, + double-buffering headroom
+    other = (
+        4 * (cfg.num_dimensions * pb + k * cfg.num_frames + pop)
+        + 8 * cfg.num_dimensions * pop
+        + (1 << 20)
+    )
+    return dft_bytes + scratch_bytes + other <= 12 * (1 << 20)
 
 
 def _final_pop_block_ok(cfg: ESConfig) -> bool:

@@ -295,3 +295,45 @@ class TestInt8SmallFrameFallback:
         tgt = jnp.ones((so.num_bins,), jnp.float32)
         fit = np.asarray(evaluate(vals, tgt, so, cfg))
         assert np.isfinite(fit).all()
+
+
+class TestVmemGating:
+    def _cfg(self, log2, dft_dtype, **kw):
+        d = 6
+        return ESConfig(
+            num_parents=64, num_offspring=4096 - 64, num_dimensions=d,
+            topology="fm3_series", param_mins=(0.0,) * d,
+            param_maxs=(3520.0, 8.0, 3520.0, 8.0, 3520.0, 8.0),
+            audio_length_log2=log2, synthesis_engine="scanless",
+            spectrum_method="dft", dft_dtype=dft_dtype, fused_kernel=True,
+            pop_block=1024, **kw,
+        )
+
+    def test_bf16_4096_rejected_falls_back(self):
+        """bf16 n=4096's (2K, N) operand alone is 32 MB — the gating must
+        reject it (compile would OOM scoped VMEM) and evaluate via XLA."""
+        from pmfm_tpu.es.strategy import _fused_ok, evaluate
+
+        cfg = self._cfg(12, "bfloat16")
+        so = make_spectrum_ops(cfg)
+        assert not _fused_ok(cfg, so)
+        vals = jax.random.uniform(jax.random.PRNGKey(0), (cfg.population_size, 6))
+        tgt = jnp.ones((so.num_bins,), jnp.float32)
+        assert np.isfinite(np.asarray(evaluate(vals, tgt, so, cfg))).all()
+
+    def test_int8_2048_allowed(self):
+        """The reference's default chunk size (audioLengthLog2=11) fits the
+        folded int8 engine (~5 MB resident)."""
+        from pmfm_tpu.es.strategy import _fused_ok
+
+        cfg = self._cfg(11, "int8")
+        so = make_spectrum_ops(cfg)
+        assert _fused_ok(cfg, so)
+
+    def test_bench_config_allowed(self):
+        from pmfm_tpu.es.strategy import _fused_ok
+
+        cfg = self._cfg(10, "int8").replace(num_parents=256,
+                                            num_offspring=(1 << 15) - 256)
+        so = make_spectrum_ops(cfg)
+        assert _fused_ok(cfg, so)
