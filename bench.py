@@ -67,9 +67,11 @@ def main():
         mutation_noise="clt12",
         fused_kernel=True,
         fused_generation=True,  # whole generation in one Pallas kernel
-        fused_evolve=True,  # ALL generations in one kernel: in-kernel
-        # selection replaces the XLA top_k + per-gen dispatch (~4.5% at int8,
-        # tools/tpu_gpg_probe.py)
+        # fused_evolve (the all-generations mega-kernel) was ~4.5% faster
+        # pre-fold; with the folded DFT the scan-of-generations path wins by
+        # ~4.6% (0.864 vs 0.906 ms/gen) — the mega-kernel's in-kernel merge
+        # no longer pays for itself
+        fused_evolve=False,
         pop_block=1024,
     )
     so = make_spectrum_ops(cfg)

@@ -220,13 +220,10 @@ def _fused_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
         (cfg.fused_kernel or cfg.fused_generation)
         and cfg.spectrum_method == "dft"
         and spectrum_ops.dft_cos is not None
-        and cfg.n_samples % TIME_BLOCK == 0
-        # the folded int8 engine pairs time blocks (n <-> N-n), so it needs
-        # an even block count; smaller frames fall back to the XLA path
-        and (
-            spectrum_ops.dft_packed_scale == 0.0
-            or cfg.n_samples % (2 * TIME_BLOCK) == 0
-        )
+        # the folded DFT (both engines) pairs time blocks (n <-> N-n), so
+        # frames need an even block count; n=128 falls back to the XLA path
+        and cfg.n_samples % (2 * TIME_BLOCK) == 0
+        and spectrum_ops.dft_packed is not None
         and spectrum_ops.num_bins % 128 == 0
         and _final_pop_block_ok(cfg)
         and _fused_vmem_ok(cfg, spectrum_ops)
@@ -247,8 +244,8 @@ def _fused_vmem_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
         dft_bytes = 2 * k * (n // 2)  # folded int8 operand
         scratch_bytes = 2 * (n // 2) * pb  # a+ / a- int8
     else:
-        dft_bytes = 2 * k * n * 2  # bf16
-        scratch_bytes = n * pb * 2
+        dft_bytes = 2 * k * (n // 2) * 2  # folded bf16 operand
+        scratch_bytes = 2 * (n // 2) * pb * 2  # a+ / a- bf16
     # params/target/tri/fitness, the generation kernel's (D, P) offspring
     # outputs, + double-buffering headroom
     other = (

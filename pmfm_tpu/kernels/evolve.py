@@ -279,17 +279,19 @@ def fused_evolve(
     pb = min(pop_block, pop)
     while pop % pb:
         pb //= 2
-    if n % time_block:
-        raise ValueError(f"n={n} must be a multiple of {time_block}")
+    if n % (2 * time_block):
+        raise ValueError(
+            f"n={n} must be a multiple of {2 * time_block} (the folded DFT "
+            f"pairs time blocks n <-> N-n)"
+        )
     blocks = pop // pb
-    if dft_scale > 0.0:
-        if dft_packed.dtype != jnp.int8:
-            raise ValueError("int8 engine needs the int8 SpectrumOps.dft_packed")
-        if dft_packed.shape[1] != n // 2:
-            raise ValueError(
-                f"int8 dft_packed must be the FOLDED (2K, N/2) operand, got "
-                f"{dft_packed.shape} for n={n}"
-            )
+    if dft_scale > 0.0 and dft_packed.dtype != jnp.int8:
+        raise ValueError("int8 engine needs the int8 SpectrumOps.dft_packed")
+    if dft_packed.shape[1] != n // 2:
+        raise ValueError(
+            f"dft_packed must be the FOLDED (2K, N/2) operand, got "
+            f"{dft_packed.shape} for n={n}"
+        )
     # int8 operands stay int8 under interpret (CPU int8 dots are exact too);
     # bf16 upcasts to f32 (XLA:CPU has no bf16 dot kernel)
     dft = (
@@ -379,14 +381,15 @@ def fused_evolve(
         scratch_shapes=[
             pltpu.VMEM((2 * vr + 8, mu), jnp.float32),
             pltpu.VMEM((vr + 8, 128), jnp.float32),
-        ] + (
-            [
-                pltpu.VMEM((n // 2, pb), jnp.int8),  # folded a+
-                pltpu.VMEM((n // 2, pb), jnp.int8),  # folded a-
-            ]
-            if dft_scale > 0.0
-            else [pltpu.VMEM((n, pb), jnp.float32 if interpret else jnp.bfloat16)]
-        ),
+        ] + [  # folded a+ / a-
+            pltpu.VMEM(
+                (n // 2, pb),
+                jnp.int8
+                if dft_scale > 0.0
+                else (jnp.float32 if interpret else jnp.bfloat16),
+            )
+            for _ in range(2)
+        ],
         **kwargs,
     )(
         seed.astype(jnp.int32).reshape(1, 1),

@@ -209,23 +209,30 @@ def fused_generation(
     pb = min(pop_block, pop)
     while pop % pb:
         pb //= 2
-    if n % time_block:
-        raise ValueError(f"n={n} must be a multiple of {time_block}")
+    if n % (2 * time_block):
+        raise ValueError(
+            f"n={n} must be a multiple of {2 * time_block} (the folded DFT "
+            f"pairs time blocks n <-> N-n)"
+        )
     if dft_scale > 0.0:
         if dft_packed is None or dft_packed.dtype != jnp.int8:
             raise ValueError("int8 engine needs the int8 SpectrumOps.dft_packed")
-        if dft_packed.shape[1] != n // 2:
-            raise ValueError(
-                f"int8 dft_packed must be the FOLDED (2K, N/2) operand, got "
-                f"{dft_packed.shape} for n={n}"
-            )
         dft = dft_packed  # int8 in BOTH modes: CPU int8 dots are exact too
     elif dft_packed is not None:
-        # precomputed (2K, N) bf16 — XLA does not hoist the rebuild below out
-        # of scan bodies (~0.3 ms/gen at the bench config)
+        # precomputed folded (2K, N/2) bf16 — XLA does not hoist the rebuild
+        # below out of scan bodies (~0.3 ms/gen at the bench config)
         dft = dft_packed
     else:
-        dft = jnp.concatenate([dft_cos, dft_sin], axis=1).T.astype(jnp.bfloat16)
+        dft = (
+            jnp.concatenate([dft_cos, dft_sin], axis=1)
+            .T[:, : n // 2]
+            .astype(jnp.bfloat16)
+        )
+    if dft.shape[1] != n // 2:
+        raise ValueError(
+            f"dft operand must be the FOLDED (2K, N/2) form, got "
+            f"{dft.shape} for n={n}"
+        )
     if interpret and dft.dtype == jnp.bfloat16:
         # interpreter-mode dots run on XLA:CPU, which has no bf16 kernel;
         # quantise-then-upcast matches the TPU bf16 MXU numerics exactly
@@ -290,14 +297,15 @@ def fused_generation(
             pl.BlockSpec((d, pop), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((d, pop), full, memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=(
-            [
-                pltpu.VMEM((n // 2, pb), jnp.int8),  # folded a+
-                pltpu.VMEM((n // 2, pb), jnp.int8),  # folded a-
-            ]
-            if dft_scale > 0.0
-            else [pltpu.VMEM((n, pb), jnp.float32 if interpret else jnp.bfloat16)]
-        ),
+        scratch_shapes=[  # folded a+ / a-
+            pltpu.VMEM(
+                (n // 2, pb),
+                jnp.int8
+                if dft_scale > 0.0
+                else (jnp.float32 if interpret else jnp.bfloat16),
+            )
+            for _ in range(2)
+        ],
         **kwargs,
     )(
         seed.astype(jnp.int32).reshape(1, 1),

@@ -71,11 +71,11 @@ def _sin_turns(w, scale: float = 1.0):
 
 def _evaluate_block(
     p,  # (D, PB) f32 scaled params — lanes = candidates
-    dft_ref,  # (2K, N) bf16 ref — or FOLDED (2K, N/2) int8 (see dft_scale)
+    dft_ref,  # FOLDED (2K, N/2) operand ref — bf16, or int8 when dft_scale>0
     target_ref,  # (K, F) f32 ref
     tri,  # (C+8, C) f32 prefix matrix + ones row (loaded)
-    *scratches,  # bf16: one (N, PB) audio scratch; int8: two (N/2, PB)
-    #              folded-audio scratches a+ / a- (see spectral.SpectrumOps)
+    *scratches,  # two (N/2, PB) folded-audio scratches a+ / a-
+    #              (int8, or bf16 on hardware / f32 under interpret)
     topology: str,
     n: int,
     pb: int,
@@ -90,33 +90,33 @@ def _evaluate_block(
     fitness row ``(1, PB)``. Used by both the evaluate-only kernel and the
     full-generation kernel (kernels/generation.py).
 
-    Per frame, the synthesised time blocks land in a bf16 VMEM scratch and
-    ONE (2K, N) @ (N, PB) k=N matmul produces the whole spectrum — a k=N
-    contraction runs the MXU at near-peak, unlike per-time-block k=C
-    accumulation, and the f32 accumulator round trips disappear (measured
-    ~0.3ms/gen at pop 2^15).
-
-    ``dft_scale > 0`` selects the INT8 engine (v5e int8 MXU rate is 2x bf16
-    and both big VMEM buffers halve): the single output amplitude of
-    fm2/fm3_series is factored out of the audio (magnitudes are linear in
-    it), the final oscillator emits 63*sin via scaled polynomial
-    coefficients, and the DFT runs FOLDED (spectral.SpectrumOps docs): the
+    The DFT runs FOLDED in BOTH dtypes (spectral.SpectrumOps docs): the
     reference window satisfies w[N-n] = w[n], so the windowed spectrum is
-    two half-length transforms over a+/- [n] = q[n] +- q[N-n]
-    (q = round(63*unit_audio), |a| <= 126 int8) plus an x[N/2] edge term —
-    HALF the matmul FLOPs and operand bytes of the naive (2K, N) form. The
-    time loop writes q directly into a+ rows for the first half-frame; each
-    second-half block is reversed by a one-hot (C, C) int8 matmul and
+    two half-length transforms over the folded audio a+/- [n] = q[n] +-
+    q[N-n] plus an x[N/2] edge term (the n=0 column is zero since
+    w[0] = 0) — HALF the matmul FLOPs and operand bytes of the naive
+    (2K, N) form, and a k=N/2 contraction still runs the MXU near peak.
+    The time loop writes q directly into a+ rows for the first half-frame;
+    each second-half block is reversed by a one-hot (C, C) matmul and
     read-modify-written into the aligned a+/a- row window one block late
     (sample N-m for m in block b lands at rows [N-(b+1)C, N-bC) and needs
-    the NEXT block's first sample, carried in a register). Both (K, N/2)
-    matmuls accumulate EXACTLY in int32 against the quantised
-    SpectrumOps.dft_packed halves; the magnitude is rescaled by
-    |amp| * dft_scale per candidate. For fm3_parallel (three summed
-    amplitudes) the factored scalar is s = mean_j |amp_j|: each pair's
-    output is scaled by amp_j * 63/(3s) at runtime (a multiply the bf16
-    path pays anyway), which bounds the normalised sum to |.| <= 63; the
-    magnitude rescale is s * dft_scale.
+    the NEXT block's first sample, carried in a register).
+
+    ``dft_scale > 0`` selects the INT8 engine (v5e int8 MXU rate is 2x bf16
+    and the big VMEM buffers halve again): the single output amplitude of
+    fm2/fm3_series is factored out of the audio (magnitudes are linear in
+    it), the final oscillator emits 63*sin via scaled polynomial
+    coefficients (q = round(63*unit_audio) keeps |a+/-| <= 126 in int8),
+    both (K, N/2) matmuls accumulate EXACTLY in int32 against the quantised
+    SpectrumOps.dft_packed halves (and < 2^24, so the f32 casts are exact
+    too), and the magnitude is rescaled by |amp| * dft_scale per candidate.
+    In bf16 mode q is the bf16-rounded audio, the fold sums round once more
+    (mimicked exactly under interpret), and window+norm stay folded in the
+    operand with the edge coefficient 2*norm*(-1)^k applied in-kernel. For
+    fm3_parallel (three summed amplitudes) the factored scalar is
+    s = mean_j |amp_j|: each pair's output is scaled by amp_j * 63/(3s) at
+    runtime (a multiply the bf16 path pays anyway), which bounds the
+    normalised sum to |.| <= 63; the magnitude rescale is s * dft_scale.
     """
     # Everything runs in TURNS (phase / wavetable_size): the wrap "mod wts"
     # becomes frac(x) = x - floor(x) (no division), and the oscillator is a
@@ -129,15 +129,12 @@ def _evaluate_block(
     inv_sr = jnp.float32(w2sr / wts)  # = 1 / sample_rate
     nb = n // c
     int8_mode = dft_scale > 0.0
-    if int8_mode:
-        if nb % 2:
-            raise ValueError(
-                f"int8 folded engine needs an even block count: n={n}, C={c}"
-            )
-        a_plus, a_minus = scratches
-        nhb = nb // 2
-    else:
-        (audio_scratch,) = scratches
+    if nb % 2:
+        raise ValueError(
+            f"the folded DFT engine needs an even block count: n={n}, C={c}"
+        )
+    a_plus, a_minus = scratches
+    nhb = nb // 2
 
     def frac(x):
         return x - jnp.floor(x)
@@ -230,37 +227,51 @@ def _evaluate_block(
     # matmul produces the spectrum.
     dn_std = (((1,), (0,)), ((), ()))
     fit = jnp.zeros((1, pb), jnp.float32)
-    if int8_mode:
-        # constants for the folded-audio bookkeeping (docstring): a one-hot
-        # reversal matrix (row j <- sample C-j; row 0 stays zero for the
-        # carried next-block sample), a row-index mask, and the x[N/2] edge
-        # coefficient 127*(-1)^k (= the exact quantisation of 63.5*w[N/2],
-        # w[N/2] = 2 — the window's peak)
-        i0 = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
-        i1 = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-        p_rev = ((i0 + i1) == c).astype(jnp.int8)
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (c, pb), 0)
-        k_iota = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-        edge_coef = (
-            jnp.float32(127.0)
-            - jnp.float32(254.0) * (k_iota % 2).astype(jnp.float32)
-        )  # (K, 1)
-        prev_q = None
-        edge_q = None
+    # constants for the folded-audio bookkeeping (docstring): a one-hot
+    # reversal matrix (row j <- sample C-j; row 0 stays zero for the
+    # carried next-block sample), a row-index mask, and the x[N/2] edge
+    # coefficient edge_norm*(-1)^k — edge_norm = 127 in int8 mode (the exact
+    # quantisation of 63.5*w[N/2], w[N/2] = 2 — the window's peak) or
+    # 2*norm in bf16 mode (the operand folds window+norm; the edge column
+    # would be w[N/2]*norm*cos(pi*k))
+    from ..ops.spectral import window_factor
 
-        def emit(r0, prev_q, nxt):
-            """Fold one delayed second-half block into the a+/a- rows
-            [r0, r0+C): reversed prev rows 1..C-1 plus (optionally) the next
-            block's first sample at row 0."""
-            asm = jax.lax.dot_general(
-                p_rev, prev_q, dn_std, preferred_element_type=jnp.int32
-            )
-            if nxt is not None:
-                q0 = jnp.zeros((c, pb), jnp.int32) + nxt[0:1, :].astype(jnp.int32)
-                asm = jnp.where(row_iota == 0, q0, asm)
-            old = a_plus[pl.ds(r0, c), :].astype(jnp.int32)
-            a_plus[pl.ds(r0, c), :] = (old + asm).astype(jnp.int8)
-            a_minus[pl.ds(r0, c), :] = (old - asm).astype(jnp.int8)
+    sdtype = a_plus.dtype  # int8, or bf16 on hardware / f32 under interpret
+    adtype = jnp.int32 if int8_mode else jnp.float32  # emit-accumulator dtype
+    edge_norm = (
+        127.0 if int8_mode else 2.0 / (n * window_factor(n))
+    )
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    p_rev = ((i0 + i1) == c).astype(jnp.int8 if int8_mode else sdtype)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (c, pb), 0)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    edge_coef = (
+        jnp.float32(edge_norm)
+        - jnp.float32(2.0 * edge_norm) * (k_iota % 2).astype(jnp.float32)
+    )  # (K, 1)
+    prev_q = None
+    edge_q = None
+
+    def fold_cast(x):
+        # int8: exact (|a| <= 126); bf16: ONE rounding of the sum — on
+        # hardware the store rounds to bf16, under interpret the scratch is
+        # f32 so we round explicitly to stay numerically identical
+        return x.astype(jnp.int8 if int8_mode else jnp.bfloat16).astype(sdtype)
+
+    def emit(r0, prev_q, nxt):
+        """Fold one delayed second-half block into the a+/a- rows
+        [r0, r0+C): reversed prev rows 1..C-1 plus (optionally) the next
+        block's first sample at row 0."""
+        asm = jax.lax.dot_general(
+            p_rev, prev_q, dn_std, preferred_element_type=adtype
+        )
+        if nxt is not None:
+            q0 = jnp.zeros((c, pb), adtype) + nxt[0:1, :].astype(adtype)
+            asm = jnp.where(row_iota == 0, q0, asm)
+        old = a_plus[pl.ds(r0, c), :].astype(adtype)
+        a_plus[pl.ds(r0, c), :] = fold_cast(old + asm)
+        a_minus[pl.ds(r0, c), :] = fold_cast(old - asm)
 
     for b in range(nb * num_frames):
         bf = b % nb  # block index within the current frame
@@ -294,59 +305,46 @@ def _evaluate_block(
                 offs1[j] = frac(offs1[j] + incs_blk[j])
             if multi_pair and not int8_mode:
                 out = out / jnp.float32(len(pairs))
-        # audio is QUANTISED in both modes: round(63*x) int8 (folded into
-        # a+/a- scratches, see docstring), or bf16 (the scratch dtype is bf16
-        # on hardware and f32 under plain interpret — XLA:CPU has no bf16 dot
-        # kernel; a bf16 MXU matmul computes exact products of bf16 values
-        # with f32 accumulation, so quantise-then-upcast is numerically
-        # identical)
+        # audio is QUANTISED in both modes — round(63*x) int8, or bf16 (the
+        # scratch dtype is bf16 on hardware and f32 under plain interpret —
+        # XLA:CPU has no bf16 dot kernel; a bf16 MXU matmul computes exact
+        # products of bf16 values with f32 accumulation, so
+        # quantise-then-upcast is numerically identical) — and FOLDED into
+        # the a+/a- scratches (docstring)
         if int8_mode:
             q = jnp.round(out).astype(jnp.int8)  # (C, PB) in [-63, 63]
-            if bf < nhb:
-                a_plus[pl.ds(bf * c, c), :] = q
-            else:
-                if bf == nhb:
-                    edge_q = q[0:1, :].astype(jnp.float32)  # 63*x[N/2]
-                else:
-                    emit(n - bf * c, prev_q, q)
-                prev_q = q
         else:
-            audio_scratch[pl.ds(bf * c, c), :] = out.astype(jnp.bfloat16).astype(
-                audio_scratch.dtype
-            )
+            q = out.astype(jnp.bfloat16).astype(sdtype)
+        if bf < nhb:
+            a_plus[pl.ds(bf * c, c), :] = q
+        else:
+            if bf == nhb:
+                edge_q = q[0:1, :].astype(jnp.float32)  # x[N/2] (quantised)
+            else:
+                emit(n - bf * c, prev_q, q)
+            prev_q = q
         if bf == nb - 1:
             f = b // nb
+            # last delayed block: rows [0, C) — x[N-m] for m in the final
+            # block; the row-0 slot is n = 0, whose operand column is
+            # zero (w[0] = 0), so no next-sample carry is needed
+            emit(0, prev_q, None)
+            dft = dft_ref[:]  # (2K, N/2) int8/bf16 folded operand
+            u = jax.lax.dot_general(
+                dft[:k], a_plus[:], dn_std, preferred_element_type=adtype
+            ).astype(jnp.float32)
+            v = jax.lax.dot_general(
+                dft[k:], a_minus[:], dn_std, preferred_element_type=adtype
+            ).astype(jnp.float32)
+            # x[N/2] edge term (one axis broadcast at a time — Mosaic has
+            # no simultaneous sublane+lane broadcast); in int8 mode the
+            # integer values stay < 2^24 so the f32 accumulation is exact
+            ec = jnp.zeros((k, pb), jnp.float32) + edge_coef
+            eq = jnp.zeros((k, pb), jnp.float32) + edge_q
+            u = u + ec * eq
+            mag = jnp.sqrt(u * u + v * v)  # (K, PB)
             if int8_mode:
-                # last delayed block: rows [0, C) — x[N-m] for m in the final
-                # block; the row-0 slot is n = 0, whose operand column is
-                # zero (w[0] = 0), so no next-sample carry is needed
-                emit(0, prev_q, None)
-                dft = dft_ref[:]  # (2K, N/2) int8
-                u = jax.lax.dot_general(
-                    dft[:k], a_plus[:], dn_std, preferred_element_type=jnp.int32
-                ).astype(jnp.float32)
-                v = jax.lax.dot_general(
-                    dft[k:], a_minus[:], dn_std, preferred_element_type=jnp.int32
-                ).astype(jnp.float32)
-                # x[N/2] edge term (one axis broadcast at a time — Mosaic has
-                # no simultaneous sublane+lane broadcast); integer values stay
-                # < 2^24 so the f32 accumulation remains exact
-                ec = jnp.zeros((k, pb), jnp.float32) + edge_coef
-                eq = jnp.zeros((k, pb), jnp.float32) + edge_q
-                u = u + ec * eq
-                mag = jnp.sqrt(u * u + v * v) * mag_scale  # (K, PB)
-            else:
-                # frame complete: one near-peak k=N MXU matmul -> spectrum,
-                # then fold the frame's spectral error into the fitness
-                spec = jax.lax.dot_general(
-                    dft_ref[:],
-                    audio_scratch[:],
-                    dn_std,
-                    preferred_element_type=jnp.float32,
-                )  # (2K, PB)
-                re = spec[:k, :]
-                im = spec[k:, :]
-                mag = jnp.sqrt(re * re + im * im)  # (K, PB)
+                mag = mag * mag_scale  # |amp| * dft_scale, lane-aligned
             d = mag - target_ref[:, f : f + 1]  # frame target, lane-broadcast
             fit = fit + jnp.sum(d * d, axis=0)[None, :]
     return fit
@@ -354,11 +352,11 @@ def _evaluate_block(
 
 def _kernel(
     params_ref,  # (D, PB) f32  — transposed: lanes = candidates
-    dft_ref,  # (2K, N) bf16 — [cos; sin] stacked, TRANSPOSED (standard GEMM)
+    dft_ref,  # (2K, N/2) folded [cos; sin] operand (standard GEMM layout)
     target_ref,  # (K, F) f32 — one column of target spectrum per STFT frame
     tri_ref,  # (C+8, C) f32 (prefix rows + ones row) strictly lower triangular
     fitness_ref,  # (G, PB) f32 out — full array; program i writes row i
-    *scratches,  # bf16: (N, PB) audio; int8: two (N/2, PB) folded a+/a-
+    *scratches,  # two (N/2, PB) folded a+/a-
     **statics,
 ):
     fit = _evaluate_block(
@@ -411,24 +409,29 @@ def fused_synth_fitness(
     pb = min(pop_block, pop)
     if pop % pb:
         raise ValueError(f"population {pop} not divisible by pop_block {pb}")
-    if n % time_block:
-        raise ValueError(f"n={n} must be a multiple of {time_block}")
+    if n % (2 * time_block):
+        raise ValueError(
+            f"n={n} must be a multiple of {2 * time_block} (the folded DFT "
+            f"pairs time blocks n <-> N-n)"
+        )
     params_t = params_scaled.T.astype(jnp.float32)  # (D, P)
     if dft_scale > 0.0:
         if dft_packed is None or dft_packed.dtype != jnp.int8:
             raise ValueError("int8 engine needs the int8 SpectrumOps.dft_packed")
-        if dft_packed.shape[1] != n // 2:
-            raise ValueError(
-                f"int8 dft_packed must be the FOLDED (2K, N/2) operand, got "
-                f"{dft_packed.shape} for n={n}"
-            )
         dft = dft_packed  # int8 in BOTH modes: CPU int8 dots are exact too
     elif dft_packed is not None:
-        dft = dft_packed  # (2K, N) bf16, precomputed
+        dft = dft_packed  # (2K, N/2) bf16 folded, precomputed
     else:
         dft = (
-            jnp.concatenate([dft_cos, dft_sin], axis=1).T.astype(jnp.bfloat16)
-        )  # (2K, N)
+            jnp.concatenate([dft_cos, dft_sin], axis=1)
+            .T[:, : n // 2]
+            .astype(jnp.bfloat16)
+        )  # (2K, N/2) folded
+    if dft.shape[1] != n // 2:
+        raise ValueError(
+            f"dft operand must be the FOLDED (2K, N/2) form, got "
+            f"{dft.shape} for n={n}"
+        )
     if interpret and dft.dtype == jnp.bfloat16:
         # XLA:CPU cannot execute bf16 dots; quantise-then-upcast is
         # numerically identical to the TPU bf16 MXU (see _evaluate_block)
@@ -485,14 +488,15 @@ def fused_synth_fitness(
         out_specs=pl.BlockSpec(
             (pop // pb, pb), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=(
-            [
-                pltpu.VMEM((n // 2, pb), jnp.int8),  # folded a+
-                pltpu.VMEM((n // 2, pb), jnp.int8),  # folded a-
-            ]
-            if dft_scale > 0.0
-            else [pltpu.VMEM((n, pb), jnp.float32 if interpret else jnp.bfloat16)]
-        ),
+        scratch_shapes=[  # folded a+ / a-
+            pltpu.VMEM(
+                (n // 2, pb),
+                jnp.int8
+                if dft_scale > 0.0
+                else (jnp.float32 if interpret else jnp.bfloat16),
+            )
+            for _ in range(2)
+        ],
         cost_estimate=cost,
         interpret=interpret,
         **kwargs,

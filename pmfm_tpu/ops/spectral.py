@@ -82,10 +82,11 @@ class SpectrumOps(NamedTuple):
     # of a scan body — rebuilding it per generation cost ~0.3 ms/gen at the
     # bench config.
     dft_packed: jax.Array | None = None
-    # int8 mode only (0.0 otherwise): dft_packed is the FOLDED operand
-    # (2K, N/2), entries round(63.5 * w[n] * trig(2*pi*k*n/N)) for
-    # n = 0..N/2-1, WITHOUT the magnitude normalisation (folding norm ~ 1/N
-    # into int8 would quantise every entry to zero). The reference window
+    # The FOLDED kernel operand (2K, N/2) for even n: bf16 with window+norm
+    # folded in, or — int8 mode (dft_packed_scale > 0) — entries
+    # round(63.5 * w[n] * trig(2*pi*k*n/N)) for n = 0..N/2-1 WITHOUT the
+    # magnitude normalisation (folding norm ~ 1/N into int8 would quantise
+    # every entry to zero). The reference window
     # satisfies w[N-n] = w[n] and the DFT basis cos(th*k*(N-n)) = cos(th*k*n),
     # sin(th*k*(N-n)) = -sin(th*k*n), so the windowed spectrum folds exactly:
     #   re[k] = sum_{n<N/2} w[n]cos(..) * (x[n]+x[N-n])  +  w[N/2](-1)^k x[N/2]
@@ -145,9 +146,13 @@ def make_spectrum_ops(
             ).T[:, : n // 2] * 63.5
             dft_packed = jnp.asarray(np.round(q).astype(np.int8))
             dft_packed_scale = norm / (63.5 * 63.0)
-        else:
+        elif n % 2 == 0:
+            # bf16 operand, same FOLD as int8 (window+norm stay folded in;
+            # the edge coefficient 2*norm*(-1)^k is applied in-kernel)
             dft_packed = jnp.asarray(
-                np.concatenate([cos_np, sin_np], axis=1).T.astype(np.float32)
+                np.concatenate([cos_np, sin_np], axis=1).T[:, : n // 2].astype(
+                    np.float32
+                )
             ).astype(jnp.bfloat16)
     return SpectrumOps(
         n=n,
