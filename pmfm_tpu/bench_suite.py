@@ -190,12 +190,51 @@ def suite_optimizations(args, bm):
         bm.elapsed_timer(f"Opt_{name}")
 
 
+def suite_stft_frames(args, bm):
+    """Multi-frame STFT fitness scaling (new capability, SURVEY.md §5.7):
+    each candidate synthesises F*N continuous samples and sums framewise
+    spectral errors — cost should scale ~linearly in F inside one kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from .es import init_state, make_spectrum_ops
+    from .es.pipeline import evolve
+
+    for frames in (1, 2, 4, 8):
+        cfg = _base_cfg(
+            args,
+            num_parents=256,
+            num_offspring=(1 << 13) - 256,  # smaller pop: F*N samples each
+            num_frames=frames,
+            dft_dtype="int8",
+            fused_kernel=True,
+            fused_generation=True,
+        )
+        so = make_spectrum_ops(cfg)
+        tgt = jnp.ones((frames, so.num_bins), jnp.float32)
+
+        @jax.jit
+        def run(key, cfg=cfg, so=so, tgt=tgt):
+            state = init_state(key, cfg)
+            final, _ = evolve(state, tgt, args.gens, so, cfg)
+            return final.best_fitness
+
+        dt = _steady_time(lambda: run(jax.random.PRNGKey(0)))
+        name = f"STFTFrames_{frames}"
+        bm.add_timer(name, dt * 1e3)
+        pop = cfg.population_size
+        print(f"{name}: {dt*1e3:.1f}ms ({pop*args.gens/dt/1e6:.2f}M cand/s, "
+              f"{pop*frames*args.gens/dt/1e6:.2f}M frame-evals/s)")
+        bm.elapsed_timer(name)
+
+
 SUITES = {
     "overall": suite_overall,
     "stages": suite_stages,
     "chunk_size": suite_chunk_size,
     "population": suite_population,
     "optimizations": suite_optimizations,
+    "stft_frames": suite_stft_frames,
 }
 
 
