@@ -11,7 +11,7 @@ import dataclasses
 import math
 from typing import Tuple
 
-from ..ops.synthesis import TOPOLOGY_DIMS
+from ..ops.synthesis import topology_dims
 from ..ops.wavetable import DEFAULT_SAMPLE_RATE, DEFAULT_WAVETABLE_SIZE
 
 RECOMBINE_MODES = ("gather", "compat_shuffle", "off")
@@ -87,9 +87,7 @@ class ESConfig:
     restart_patience: int = 0
 
     def __post_init__(self):
-        if self.topology not in TOPOLOGY_DIMS:
-            raise ValueError(f"unknown topology {self.topology!r}")
-        want = TOPOLOGY_DIMS[self.topology]
+        want = topology_dims(self.topology)  # raises on unknown names
         if self.num_dimensions != want:
             raise ValueError(
                 f"topology {self.topology} needs {want} dims, got {self.num_dimensions}"

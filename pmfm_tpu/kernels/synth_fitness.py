@@ -27,6 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ops.synthesis import series_ops
 from ..ops.wavetable import DEFAULT_SAMPLE_RATE, DEFAULT_WAVETABLE_SIZE
 
 DEFAULT_POP_BLOCK = 512
@@ -182,14 +183,15 @@ def _evaluate_block(
             )
             for j in range(3)
         ]
-    elif topology == "fm3_series":
-        im1 = inv_sr * (row(0) * row(1))
-        im2 = inv_sr * (row(2) * row(3))
-        m3 = row(4) * row(5)
-        ic1, ic2 = inv_sr * row(3), inv_sr * row(5)
+    elif series_ops(topology):
+        # generic k-operator serial chain (k=3 = the reference DoubleSeries)
+        kn = series_ops(topology)
+        ims = [inv_sr * (row(2 * j) * row(2 * j + 1)) for j in range(kn - 1)]
+        ics = [inv_sr * row(2 * j + 3) for j in range(kn - 1)]
+        m_out = row(2 * kn - 2) * row(2 * kn - 1)
         inc1 = frac(inv_sr * row(1))
         inc_blk = frac(jnp.float32(c) * inc1)
-        off1, off2, off3 = zeros(), zeros(), zeros()
+        offs = [zeros() for _ in range(kn)]
         pairs = None
     else:
         raise NotImplementedError(topology)
@@ -203,8 +205,8 @@ def _evaluate_block(
     if int8_mode:
         # the factored-out output amplitude, rescaled into the magnitude
         # spectrum after the exact int32 matmul (see docstring)
-        if topology == "fm3_series":
-            amp_row = jnp.abs(m3)  # (1, PB)
+        if pairs is None:  # serial chain: single output amplitude
+            amp_row = jnp.abs(m_out)  # (1, PB)
         elif multi_pair:
             # fm3_parallel: factor out s = mean_j |amp_j|; the per-pair
             # runtime gains amp_j*63/(3s) bound the summed audio to +-63
@@ -275,18 +277,15 @@ def _evaluate_block(
 
     for b in range(nb * num_frames):
         bf = b % nb  # block index within the current frame
-        if topology == "fm3_series":
-            pos1 = t_block * inc1 + off1  # (C, PB) raw turns
-            x1 = osc(pos1) * im1 + ic1  # = inv_sr * cur1
-            pre1, tot1 = ex_prefix(x1)
-            pos2 = pre1 + off2
-            off2 = frac(off2 + tot1)
-            x2 = osc(pos2) * im2 + ic2
-            pre2, tot2 = ex_prefix(x2)
-            pos3 = pre2 + off3
-            off3 = frac(off3 + tot2)
-            out = osc_out(pos3) if int8_mode else osc(pos3) * m3
-            off1 = frac(off1 + inc_blk)
+        if pairs is None:  # serial chain
+            pos = t_block * inc1 + offs[0]  # (C, PB) raw turns
+            for j in range(kn - 1):
+                x = osc(pos) * ims[j] + ics[j]  # = inv_sr * cur_{j+1}
+                pre, tot = ex_prefix(x)
+                pos = pre + offs[j + 1]
+                offs[j + 1] = frac(offs[j + 1] + tot)
+            out = osc_out(pos) if int8_mode else osc(pos) * m_out
+            offs[0] = frac(offs[0] + inc_blk)
         else:  # one or three independent 2-op pairs
             out = None
             for j, (im_, ic_, amp, inc) in enumerate(pairs):
@@ -459,7 +458,9 @@ def fused_synth_fitness(
         dft_scale=dft_scale,
     )
     grid = (pop // pb,)
-    chains = {"fm2": 1, "fm3_series": 2, "fm3_parallel": 3}[topology]
+    from ..ops.synthesis import series_ops as _so
+
+    chains = {"fm2": 1, "fm3_parallel": 3}.get(topology) or (_so(topology) - 1)
     cost = pl.CostEstimate(
         # dft.shape[1] = N/2 in the folded int8 mode, N in bf16
         flops=pop * num_frames * (2 * dft.shape[1] * 2 * k + chains * 2 * time_block * n),

@@ -63,11 +63,36 @@ FM3_PARALLEL = FMTopology(
     description="three independent 2-op FM pairs, outputs averaged",
 )
 
-TOPOLOGIES = {t.name: t for t in (FM2, FM3_SERIES, FM3_PARALLEL)}
+def series_topology(k: int) -> FMTopology:
+    """Generic k-operator serial chain ``fm{k}_series`` (k >= 3): op j
+    modulates op j+1; the final operator's freq*index is the output
+    amplitude. k=3 is the reference DoubleSeries
+    (Evolutionary_Strategy.hpp:403-449); larger k extends the same pattern —
+    every engine (scan, scanless, oracle, Pallas kernels incl. the int8
+    folded DFT) dispatches on the operator count."""
+    if k < 3:
+        raise ValueError("series chains start at 3 operators (use fm2 below)")
+    return FMTopology(
+        name=f"fm{k}_series",
+        num_dimensions=2 * k,
+        param_names=tuple(f"{p}{i}" for i in range(1, k + 1) for p in ("freq", "index")),
+        default_param_maxs=(3520.0, 8.0) * k,
+        description=f"{k}-operator serial FM chain (op1 -> ... -> op{k})",
+    )
+
+
+FM4_SERIES = series_topology(4)
+FM5_SERIES = series_topology(5)
+
+TOPOLOGIES = {
+    t.name: t for t in (FM2, FM3_SERIES, FM3_PARALLEL, FM4_SERIES, FM5_SERIES)
+}
 
 
 def get_topology(name: str) -> FMTopology:
-    try:
+    if name in TOPOLOGIES:
         return TOPOLOGIES[name]
-    except KeyError:
-        raise ValueError(f"unknown topology {name!r}; options {list(TOPOLOGIES)}") from None
+    k = synthesis.series_ops(name)
+    if k is not None:
+        return series_topology(k)
+    raise ValueError(f"unknown topology {name!r}; options {list(TOPOLOGIES)}")

@@ -20,9 +20,17 @@ from __future__ import annotations
 
 import math
 
+import re
+
 import numpy as np
 
 from .wavetable import DEFAULT_SAMPLE_RATE, DEFAULT_WAVETABLE_SIZE, build_wavetable
+
+
+def _series_ops(topology: str):
+    # numpy-only twin of ops.synthesis.series_ops (keeps the oracle jax-free)
+    m = re.match(r"^fm(\d+)_series$", topology)
+    return int(m.group(1)) if m and int(m.group(1)) >= 3 else None
 
 
 def scale_params_np(values, mins, maxs):
@@ -77,30 +85,33 @@ class OracleObjective:
                     pos2 = np.float32(pos2 - size)
                 if pos2 < 0.0:
                     pos2 = np.float32(pos2 + size)
-        elif topology == "fm3_series":
-            m1 = np.float32(p[0] * p[1])
-            m2 = np.float32(p[2] * p[3])
-            m3 = np.float32(p[4] * p[5])
-            c1, c2 = np.float32(p[3]), np.float32(p[5])
+        elif _series_ops(topology):
+            # generic k-operator serial chain (k=3 = reference DoubleSeries)
+            kn = _series_ops(topology)
+            ms = [np.float32(p[2 * j] * p[2 * j + 1]) for j in range(kn)]
+            cs = [np.float32(p[2 * j + 3]) for j in range(kn - 1)]
             inc1 = np.float32(w2sr * p[1])
-            pos1 = pos2 = pos3 = np.float32(0.0)
+            poss = [np.float32(0.0)] * kn
             for i in range(self.n):
-                cur1 = np.float32(self._osc(pos1) * m1 + c1)
-                pos1 = np.float32(pos1 + inc1)
-                if pos1 >= size:
-                    pos1 = np.float32(pos1 - size)
-                cur2 = np.float32(self._osc(pos2) * m2 + c2)
-                pos2 = np.float32(pos2 + w2sr * cur1)
-                if pos2 >= size:
-                    pos2 = np.float32(pos2 - size)
-                if pos2 < 0.0:
-                    pos2 = np.float32(pos2 + size)
-                out[i] = np.float32(self._osc(pos3) * m3)
-                pos3 = np.float32(pos3 + w2sr * cur2)
-                if pos3 >= size:
-                    pos3 = np.float32(pos3 - size)
-                if pos3 < 0.0:
-                    pos3 = np.float32(pos3 + size)
+                cur = np.float32(self._osc(poss[0]) * ms[0] + cs[0])
+                poss[0] = np.float32(poss[0] + inc1)
+                if poss[0] >= size:
+                    poss[0] = np.float32(poss[0] - size)
+                for j in range(1, kn - 1):
+                    nxt_cur = np.float32(self._osc(poss[j]) * ms[j] + cs[j])
+                    poss[j] = np.float32(poss[j] + w2sr * cur)
+                    if poss[j] >= size:
+                        poss[j] = np.float32(poss[j] - size)
+                    if poss[j] < 0.0:
+                        poss[j] = np.float32(poss[j] + size)
+                    cur = nxt_cur
+                jl = kn - 1
+                out[i] = np.float32(self._osc(poss[jl]) * ms[jl])
+                poss[jl] = np.float32(poss[jl] + w2sr * cur)
+                if poss[jl] >= size:
+                    poss[jl] = np.float32(poss[jl] - size)
+                if poss[jl] < 0.0:
+                    poss[jl] = np.float32(poss[jl] + size)
         elif topology == "fm3_parallel":
             p = p.reshape(3, 4)
             acc = np.stack([self.synthesize(p[j], "fm2") for j in range(3)])

@@ -48,6 +48,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .synthesis import series_ops
 from .wavetable import DEFAULT_SAMPLE_RATE, DEFAULT_WAVETABLE_SIZE
 
 
@@ -123,17 +124,18 @@ def synthesize_scanless(
     if topology == "fm2":
         return two_op(p[:, 0], p[:, 1], p[:, 2], p[:, 3]).astype(out_dtype)
 
-    if topology == "fm3_series":
-        m1 = p[:, 0] * p[:, 1]
-        m2 = p[:, 2] * p[:, 3]
-        m3 = p[:, 4] * p[:, 5]
-        c1, c2 = p[:, 3], p[:, 5]
-        pos1 = jnp.mod(t * jnp.mod(w2sr * p[:, 1], wts)[None, :], wts)
-        cur1 = osc(pos1) * m1[None, :] + c1[None, :]
-        pos2 = cumsum(w2sr * cur1)
-        cur2 = osc(pos2) * m2[None, :] + c2[None, :]
-        pos3 = cumsum(w2sr * cur2)
-        return (osc(pos3) * m3[None, :]).astype(out_dtype)
+    kn = series_ops(topology)
+    if kn:
+        # generic k-operator serial chain (k=3 = the reference DoubleSeries)
+        ms = [p[:, 2 * j] * p[:, 2 * j + 1] for j in range(kn)]
+        cs = [p[:, 2 * j + 3] for j in range(kn - 1)]
+        pos = jnp.mod(t * jnp.mod(w2sr * p[:, 1], wts)[None, :], wts)
+        cur = osc(pos) * ms[0][None, :] + cs[0][None, :]
+        for j in range(1, kn - 1):
+            pos = cumsum(w2sr * cur)
+            cur = osc(pos) * ms[j][None, :] + cs[j][None, :]
+        pos = cumsum(w2sr * cur)
+        return (osc(pos) * ms[kn - 1][None, :]).astype(out_dtype)
 
     if topology == "fm3_parallel":
         p4 = p.reshape(pop, 3, 4)

@@ -17,6 +17,8 @@ Three topologies (model families), semantics = CPU ground truth:
                      Evolutionary_Strategy_OpenCL.hpp:117)
                      (Evolutionary_Strategy.hpp:403-449)
 * ``fm3_parallel`` — 3 x 2-operator pairs averaged, 12 params
+* ``fm{k}_series`` — generic k-operator serial chain (k >= 3), 2k params —
+  capability extension; k=3 reduces to the reference variant
                      (Evolutionary_Strategy.hpp:450-495)
 
 Unlike the reference CPU Objective (whose phase accumulators are member
@@ -42,6 +44,32 @@ from .wavetable import (
 )
 
 TOPOLOGY_DIMS = {"fm2": 4, "fm3_series": 6, "fm3_parallel": 12}
+_SERIES_RE = __import__("re").compile(r"^fm(\d+)_series$")
+
+
+def series_ops(topology: str):
+    """Operator count k for the generic serial chain ``fm{k}_series``
+    (k >= 3; ``fm3_series`` is the reference DoubleSeries,
+    Evolutionary_Strategy.hpp:403-449 — larger k extends the same pattern:
+    op j modulates op j+1, the last operator's freq*index is the output
+    amplitude). Returns None for non-series topologies."""
+    m = _SERIES_RE.match(topology)
+    if m and int(m.group(1)) >= 3:
+        return int(m.group(1))
+    return None
+
+
+def topology_dims(topology: str) -> int:
+    """Parameter count for any supported topology (2 per series operator)."""
+    if topology in TOPOLOGY_DIMS:
+        return TOPOLOGY_DIMS[topology]
+    k = series_ops(topology)
+    if k is not None:
+        return 2 * k
+    raise ValueError(
+        f"unknown topology {topology!r}; options {list(TOPOLOGY_DIMS)} "
+        f"or 'fm<k>_series' (k >= 3)"
+    )
 
 
 def scale_params(values: jax.Array, mins: jax.Array, maxs: jax.Array) -> jax.Array:
@@ -54,9 +82,7 @@ def scale_params(values: jax.Array, mins: jax.Array, maxs: jax.Array) -> jax.Arr
 
 
 def _check_topology(topology: str, num_dims: int):
-    if topology not in TOPOLOGY_DIMS:
-        raise ValueError(f"unknown topology {topology!r}; options {list(TOPOLOGY_DIMS)}")
-    want = TOPOLOGY_DIMS[topology]
+    want = topology_dims(topology)
     if num_dims != want:
         raise ValueError(f"topology {topology} needs {want} dims, got {num_dims}")
 
@@ -124,26 +150,29 @@ def synthesize(
 
         init = (zeros, zeros)
 
-    elif topology == "fm3_series":
-        # Objective::synthesiseAudioDoubleSeries (Evolutionary_Strategy.hpp:403-449)
-        m1 = p[:, 0] * p[:, 1]
-        m2 = p[:, 2] * p[:, 3]
-        m3 = p[:, 4] * p[:, 5]
-        c1 = p[:, 3]
-        c2 = p[:, 5]
+    elif series_ops(topology):
+        # generic k-operator serial chain; k=3 is the reference DoubleSeries
+        # (Objective::synthesiseAudioDoubleSeries,
+        # Evolutionary_Strategy.hpp:403-449) — op j's output modulates
+        # op j+1's phase; the final operator's freq*index is the amplitude
+        kn = series_ops(topology)
+        ms = [p[:, 2 * j] * p[:, 2 * j + 1] for j in range(kn)]
+        cs = [p[:, 2 * j + 3] for j in range(kn - 1)]
         inc1 = w2sr * p[:, 1]
 
         def step(carry, _):
-            pos1, pos2, pos3 = carry
-            cur1 = osc(pos1) * m1 + c1
-            pos1 = wrap_pos(pos1 + inc1, size)
-            cur2 = osc(pos2) * m2 + c2
-            pos2 = wrap_pos_both(pos2 + w2sr * cur1, size)
-            out = osc(pos3) * m3
-            pos3 = wrap_pos_both(pos3 + w2sr * cur2, size)
-            return (pos1, pos2, pos3), out
+            poss = list(carry)
+            cur = osc(poss[0]) * ms[0] + cs[0]
+            news = [wrap_pos(poss[0] + inc1, size)]
+            for j in range(1, kn - 1):
+                nxt_cur = osc(poss[j]) * ms[j] + cs[j]
+                news.append(wrap_pos_both(poss[j] + w2sr * cur, size))
+                cur = nxt_cur
+            out = osc(poss[kn - 1]) * ms[kn - 1]
+            news.append(wrap_pos_both(poss[kn - 1] + w2sr * cur, size))
+            return tuple(news), out
 
-        init = (zeros, zeros, zeros)
+        init = tuple(zeros for _ in range(kn))
 
     else:  # fm3_parallel
         # Objective::synthesiseAudioTriple (Evolutionary_Strategy.hpp:450-495)
