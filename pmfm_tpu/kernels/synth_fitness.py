@@ -27,7 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.synthesis import series_ops
+from ..ops.synthesis import parallel_pairs, series_ops
 from ..ops.wavetable import DEFAULT_SAMPLE_RATE, DEFAULT_WAVETABLE_SIZE
 
 DEFAULT_POP_BLOCK = 512
@@ -172,8 +172,9 @@ def _evaluate_block(
             (inv_sr * (row(0) * row(1)), inv_sr * row(2), row(3),
              frac(inv_sr * row(0)))
         ]
-    elif topology == "fm3_parallel":
-        # three independent 2-op pairs, averaged (kernels/ocl_program.cl:388-443)
+    elif parallel_pairs(topology):
+        # k independent 2-op pairs, averaged (kernels/ocl_program.cl:388-443
+        # is the k=3 reference variant)
         pairs = [
             (
                 inv_sr * (row(4 * j) * row(4 * j + 1)),
@@ -181,7 +182,7 @@ def _evaluate_block(
                 row(4 * j + 3),
                 frac(inv_sr * row(4 * j)),
             )
-            for j in range(3)
+            for j in range(parallel_pairs(topology))
         ]
     elif series_ops(topology):
         # generic k-operator serial chain (k=3 = the reference DoubleSeries)
@@ -458,9 +459,13 @@ def fused_synth_fitness(
         dft_scale=dft_scale,
     )
     grid = (pop // pb,)
-    from ..ops.synthesis import series_ops as _so
+    from ..ops.synthesis import parallel_pairs, series_ops as _so
 
-    chains = {"fm2": 1, "fm3_parallel": 3}.get(topology) or (_so(topology) - 1)
+    from ..ops.synthesis import parallel_pairs as _pp
+
+    chains = (
+        {"fm2": 1}.get(topology) or _pp(topology) or (_so(topology) - 1)
+    )
     cost = pl.CostEstimate(
         # dft.shape[1] = N/2 in the folded int8 mode, N in bf16
         flops=pop * num_frames * (2 * dft.shape[1] * 2 * k + chains * 2 * time_block * n),

@@ -81,6 +81,25 @@ def series_topology(k: int) -> FMTopology:
     )
 
 
+def parallel_topology(k: int) -> FMTopology:
+    """Generic bank of k independent 2-op pairs, outputs averaged
+    (``fm{k}_parallel``, k >= 2; k=3 is the reference Triple variant,
+    Evolutionary_Strategy.hpp:450-495)."""
+    if k < 2:
+        raise ValueError("parallel banks start at 2 pairs")
+    return FMTopology(
+        name=f"fm{k}_parallel",
+        num_dimensions=4 * k,
+        param_names=tuple(
+            f"{p}{i}"
+            for i in range(1, k + 1)
+            for p in ("modFreq", "modIndex", "carrierFreq", "carrierAmp")
+        ),
+        default_param_maxs=(3520.0, 8.0, 3520.0, 1.0) * k,
+        description=f"{k} independent 2-op FM pairs, outputs averaged",
+    )
+
+
 FM4_SERIES = series_topology(4)
 FM5_SERIES = series_topology(5)
 
@@ -95,4 +114,7 @@ def get_topology(name: str) -> FMTopology:
     k = synthesis.series_ops(name)
     if k is not None:
         return series_topology(k)
+    k = synthesis.parallel_pairs(name)
+    if k is not None:
+        return parallel_topology(k)
     raise ValueError(f"unknown topology {name!r}; options {list(TOPOLOGIES)}")

@@ -33,6 +33,11 @@ def _series_ops(topology: str):
     return int(m.group(1)) if m and int(m.group(1)) >= 3 else None
 
 
+def _parallel_pairs(topology: str):
+    m = re.match(r"^fm(\d+)_parallel$", topology)
+    return int(m.group(1)) if m and int(m.group(1)) >= 2 else None
+
+
 def scale_params_np(values, mins, maxs):
     values = np.asarray(values, np.float32)
     return np.asarray(mins, np.float32) + values * (
@@ -112,11 +117,12 @@ class OracleObjective:
                     poss[jl] = np.float32(poss[jl] - size)
                 if poss[jl] < 0.0:
                     poss[jl] = np.float32(poss[jl] + size)
-        elif topology == "fm3_parallel":
-            p = p.reshape(3, 4)
-            acc = np.stack([self.synthesize(p[j], "fm2") for j in range(3)])
-            # average of the three 2-op pairs (Evolutionary_Strategy.hpp:493)
-            out = ((acc[0] + acc[1] + acc[2]) / np.float32(3.0)).astype(np.float32)
+        elif _parallel_pairs(topology):
+            kp = _parallel_pairs(topology)
+            p = p.reshape(kp, 4)
+            acc = np.stack([self.synthesize(p[j], "fm2") for j in range(kp)])
+            # average of the k 2-op pairs (Evolutionary_Strategy.hpp:493)
+            out = (acc.sum(axis=0) / np.float32(kp)).astype(np.float32)
         else:
             raise ValueError(topology)
         return out

@@ -48,7 +48,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .synthesis import series_ops
+from .synthesis import parallel_pairs, series_ops
 from .wavetable import DEFAULT_SAMPLE_RATE, DEFAULT_WAVETABLE_SIZE
 
 
@@ -137,12 +137,13 @@ def synthesize_scanless(
         pos = cumsum(w2sr * cur)
         return (osc(pos) * ms[kn - 1][None, :]).astype(out_dtype)
 
-    if topology == "fm3_parallel":
-        p4 = p.reshape(pop, 3, 4)
+    kp = parallel_pairs(topology)
+    if kp:
+        p4 = p.reshape(pop, kp, 4)
         outs = [
             two_op(p4[:, j, 0], p4[:, j, 1], p4[:, j, 2], p4[:, j, 3])
-            for j in range(3)
+            for j in range(kp)
         ]
-        return ((outs[0] + outs[1] + outs[2]) / jnp.float32(3.0)).astype(out_dtype)
+        return (sum(outs) / jnp.float32(kp)).astype(out_dtype)
 
     raise ValueError(f"unknown topology {topology!r}")

@@ -19,6 +19,8 @@ Three topologies (model families), semantics = CPU ground truth:
 * ``fm3_parallel`` — 3 x 2-operator pairs averaged, 12 params
 * ``fm{k}_series`` — generic k-operator serial chain (k >= 3), 2k params —
   capability extension; k=3 reduces to the reference variant
+* ``fm{k}_parallel`` — generic bank of k 2-op pairs averaged (k >= 2),
+  4k params — capability extension; k=3 reduces to the reference variant
                      (Evolutionary_Strategy.hpp:450-495)
 
 Unlike the reference CPU Objective (whose phase accumulators are member
@@ -47,6 +49,20 @@ TOPOLOGY_DIMS = {"fm2": 4, "fm3_series": 6, "fm3_parallel": 12}
 _SERIES_RE = __import__("re").compile(r"^fm(\d+)_series$")
 
 
+_PARALLEL_RE = __import__("re").compile(r"^fm(\d+)_parallel$")
+
+
+def parallel_pairs(topology: str):
+    """Pair count k for the generic parallel bank ``fm{k}_parallel``
+    (k >= 2; ``fm3_parallel`` is the reference Triple variant,
+    Evolutionary_Strategy.hpp:450-495 — k independent 2-op pairs, outputs
+    averaged). Returns None for non-parallel topologies."""
+    m = _PARALLEL_RE.match(topology)
+    if m and int(m.group(1)) >= 2:
+        return int(m.group(1))
+    return None
+
+
 def series_ops(topology: str):
     """Operator count k for the generic serial chain ``fm{k}_series``
     (k >= 3; ``fm3_series`` is the reference DoubleSeries,
@@ -66,9 +82,12 @@ def topology_dims(topology: str) -> int:
     k = series_ops(topology)
     if k is not None:
         return 2 * k
+    k = parallel_pairs(topology)
+    if k is not None:
+        return 4 * k
     raise ValueError(
         f"unknown topology {topology!r}; options {list(TOPOLOGY_DIMS)} "
-        f"or 'fm<k>_series' (k >= 3)"
+        f"or 'fm<k>_series' (k >= 3) / 'fm<k>_parallel' (k >= 2)"
     )
 
 
@@ -174,14 +193,16 @@ def synthesize(
 
         init = tuple(zeros for _ in range(kn))
 
-    else:  # fm3_parallel
+    elif parallel_pairs(topology):  # fm{k}_parallel
         # Objective::synthesiseAudioTriple (Evolutionary_Strategy.hpp:450-495)
-        p4 = p.reshape(pop, 3, 4)
-        mod_depth = p4[:, :, 0] * p4[:, :, 1]  # (pop, 3)
+        # generalized to k pairs (k=3 = the reference Triple variant)
+        kp = parallel_pairs(topology)
+        p4 = p.reshape(pop, kp, 4)
+        mod_depth = p4[:, :, 0] * p4[:, :, 1]  # (pop, k)
         carrier_freq = p4[:, :, 2]
         amp = p4[:, :, 3]
         inc1 = w2sr * p4[:, :, 0]
-        zeros3 = jnp.zeros((pop, 3), jnp.float32)
+        zerosk = jnp.zeros((pop, kp), jnp.float32)
 
         def step(carry, _):
             pos1, pos2 = carry
@@ -191,7 +212,10 @@ def synthesize(
             pos2 = wrap_pos_both(pos2 + w2sr * cur, size)
             return (pos1, pos2), jnp.mean(outs, axis=-1)
 
-        init = (zeros3, zeros3)
+        init = (zerosk, zerosk)
+
+    else:
+        raise ValueError(f"unknown topology {topology!r}")
 
     _, audio = jax.lax.scan(step, init, None, length=n_samples, unroll=unroll)
     return audio.astype(out_dtype)  # (n_samples, pop)

@@ -133,3 +133,53 @@ def make_spectrum_ops_pair(cfg8, cfg32):
     from pmfm_tpu.es import make_spectrum_ops
 
     return make_spectrum_ops(cfg8), make_spectrum_ops(cfg32)
+
+
+class TestGenericParallelBank:
+    def test_fm4_parallel_engines_agree(self):
+        from pmfm_tpu.ops import synthesize
+        from pmfm_tpu.ops.oracle import OracleObjective
+
+        rng = np.random.default_rng(4)
+        d = 16
+        p = np.empty(d, np.float32)
+        p[0::4] = rng.uniform(100, 2000, 4)
+        p[1::4] = rng.uniform(0.5, 4.0, 4)
+        p[2::4] = rng.uniform(100, 2000, 4)
+        p[3::4] = rng.uniform(0.1, 1.0, 4)
+        o = OracleObjective(256)
+        a_ref = o.synthesize(p, "fm4_parallel")
+        a = np.asarray(
+            synthesize(jnp.asarray(p)[None], 256, "fm4_parallel",
+                       engine="scan", osc_mode="table")
+        )[:, 0]
+        assert np.linalg.norm(a - a_ref) / np.linalg.norm(a_ref) < 1e-3
+
+    def test_fused_int8_rank_agreement_fm2_parallel(self):
+        """fm2_parallel (two pairs) through the folded int8 kernel: the
+        mean-amp factoring is pair-count generic."""
+        from pmfm_tpu.es import ESConfig, make_spectrum_ops
+        from pmfm_tpu.es.strategy import evaluate
+
+        d = 8
+        cfg8 = ESConfig(
+            num_parents=16, num_offspring=112, num_dimensions=d,
+            topology="fm2_parallel", param_mins=(0.0,) * d,
+            param_maxs=(3520.0, 8.0, 3520.0, 1.0) * 2, audio_length_log2=8,
+            synthesis_engine="scanless", spectrum_method="dft",
+            dft_dtype="int8", fused_kernel=True, pop_block=128,
+        )
+        cfg32 = cfg8.replace(dft_dtype="float32", fused_kernel=False)
+        so8 = make_spectrum_ops(cfg8)
+        so32 = make_spectrum_ops(cfg32)
+        vals = jax.random.uniform(jax.random.PRNGKey(1), (128, d))
+        tgt = jnp.ones((so8.num_bins,), jnp.float32)
+        f8 = np.asarray(evaluate(vals, tgt, so8, cfg8))
+        f32 = np.asarray(evaluate(vals, tgt, so32, cfg32))
+        top8, top32 = np.argsort(f8)[:16], np.argsort(f32)[:16]
+        assert top8[0] == top32[0]
+        assert len(set(top8) & set(top32)) >= 15
+
+    def test_registry_dynamic(self):
+        t = get_topology("fm5_parallel")
+        assert t.num_dimensions == 20
