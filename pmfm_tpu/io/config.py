@@ -21,7 +21,7 @@ Reference quirks deliberately fixed (SURVEY.md §7.4/§5.6):
 TPU extension section (all optional)::
 
   "tpu": {
-    "topology": "fm3_series",       # fm2 | fm3_series | fm3_parallel
+    "topology": "fm3_series",       # fm2 | fm{k}_series | fm{k}_parallel
     "synthesisEngine": "scan",      # scan | scanless
     "fusedKernel": false,           # Pallas fused synth+DFT+fitness kernel
     "fusedGeneration": false,       # whole generation in one kernel (TPU only)
