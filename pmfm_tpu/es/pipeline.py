@@ -32,10 +32,11 @@ from .strategy import ESState, evaluate, init_state, mutate, recombine, select
 
 
 def make_spectrum_ops(cfg: ESConfig) -> spectral.SpectrumOps:
-    # all topologies support the int8 engine: fm2/fm3_series factor their
-    # single output amplitude out of the audio; fm3_parallel factors the
-    # mean amplitude s and scales each pair by amp_j*127/(3s) in-kernel
-    # (kernels/synth_fitness.py _evaluate_block docstring)
+    # all topologies support the int8 engine: fm2 and fm{k}_series factor
+    # their single output amplitude out of the audio; fm{k}_parallel factors
+    # the mean amplitude s and scales each pair by amp_j*63/(k*s) in-kernel
+    # (63, not 127: the folded sums q[n] +- q[N-n] must stay within int8 —
+    # kernels/synth_fitness.py _evaluate_block docstring)
     return spectral.make_spectrum_ops(
         cfg.n_samples,
         num_bins=cfg.num_bins,

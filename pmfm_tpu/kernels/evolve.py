@@ -100,7 +100,7 @@ def _evolve_kernel(
     pv0_ref,  # (D, MU) f32 initial parent values
     ps0_ref,  # (D, MU) f32 initial parent steps
     bv0_ref,  # (VR, 128) f32 incoming best-ever values (col-broadcast)
-    dft_ref,  # (2K, N) bf16
+    dft_ref,  # (2K, N/2) folded operand (bf16 or int8)
     target_ref,  # (K, F) f32
     tri_ref,  # (C+8, C) f32 (prefix rows + ones row)
     out_pv_ref,  # (D, MU) f32 out — final parent values
@@ -111,7 +111,7 @@ def _evolve_kernel(
     traj_ref,  # (G, 128) f32 out — best-ever fitness per generation (col 0)
     pool_scratch,  # (2*VR + 8, MU) f32 — parents (+fitness rows) across gens
     best_scratch,  # (VR + 8, 128) f32 — rows [0:VR) values, row VR fitness
-    *audio_scratches,  # bf16: (N, PB) audio; int8: two (N/2, PB) folded a+/a-
+    *audio_scratches,  # two (N/2, PB) folded a+/a- (int8, or bf16/f32-interpret)
 
     steps: int,
     gpg: int,
@@ -238,7 +238,7 @@ def fused_evolve(
     parent_steps: jax.Array,  # (mu, D) f32
     best_values: jax.Array,  # (D,) f32 incoming best-ever
     best_fitness: jax.Array,  # () f32 incoming best-ever
-    dft_packed: jax.Array,  # (2K, N) bf16 (SpectrumOps.dft_packed)
+    dft_packed: jax.Array,  # (2K, N/2) folded (SpectrumOps.dft_packed)
     target_spectrum: jax.Array,  # (K,) or (F, K)
     *,
     gens: int,

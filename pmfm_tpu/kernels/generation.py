@@ -123,13 +123,13 @@ def _gen_kernel(
     seed_ref,  # (1, 1) int32 SMEM
     pv_ref,  # (D, MU) f32 parent values (transposed: no in-kernel transpose)
     ps_ref,  # (D, MU) f32 parent steps
-    dft_ref,  # (2K, N) bf16
+    dft_ref,  # (2K, N/2) folded operand (bf16 or int8)
     target_ref,  # (K, F) f32
     tri_ref,  # (C+8, C) f32 (prefix rows + ones row)
     fitness_ref,  # (G, PB) f32 out
     values_ref,  # (D, P) f32 out — offspring values (transposed)
     steps_ref,  # (D, P) f32 out
-    *scratches,  # bf16: (N, PB) audio; int8: two (N/2, PB) folded a+/a-
+    *scratches,  # two (N/2, PB) folded a+/a- (int8, or bf16/f32-interpret)
     mu: int,
     d: int,
     alpha: float,

@@ -27,11 +27,25 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ops.spectral import window_factor
 from ..ops.synthesis import parallel_pairs, series_ops
 from ..ops.wavetable import DEFAULT_SAMPLE_RATE, DEFAULT_WAVETABLE_SIZE
 
 DEFAULT_POP_BLOCK = 512
 TIME_BLOCK = 128
+
+
+def _chain_count(topology: str) -> int:
+    """Oscillator chains advanced per sample (for the Mosaic cost estimate)."""
+    if topology == "fm2":
+        return 1
+    k = parallel_pairs(topology)
+    if k is not None:
+        return k
+    k = series_ops(topology)
+    if k is not None:
+        return k - 1
+    raise NotImplementedError(topology)
 
 
 def _tri_strict(c: int) -> np.ndarray:
@@ -237,8 +251,6 @@ def _evaluate_block(
     # quantisation of 63.5*w[N/2], w[N/2] = 2 — the window's peak) or
     # 2*norm in bf16 mode (the operand folds window+norm; the edge column
     # would be w[N/2]*norm*cos(pi*k))
-    from ..ops.spectral import window_factor
-
     sdtype = a_plus.dtype  # int8, or bf16 on hardware / f32 under interpret
     adtype = jnp.int32 if int8_mode else jnp.float32  # emit-accumulator dtype
     edge_norm = (
@@ -459,15 +471,9 @@ def fused_synth_fitness(
         dft_scale=dft_scale,
     )
     grid = (pop // pb,)
-    from ..ops.synthesis import parallel_pairs, series_ops as _so
-
-    from ..ops.synthesis import parallel_pairs as _pp
-
-    chains = (
-        {"fm2": 1}.get(topology) or _pp(topology) or (_so(topology) - 1)
-    )
+    chains = _chain_count(topology)
     cost = pl.CostEstimate(
-        # dft.shape[1] = N/2 in the folded int8 mode, N in bf16
+        # dft.shape[1] = N/2 (folded operand, both dtypes)
         flops=pop * num_frames * (2 * dft.shape[1] * 2 * k + chains * 2 * time_block * n),
         bytes_accessed=pop * d * 4 + dft.shape[1] * 2 * k * 2 + pop * 4,
         transcendentals=pop * num_frames * n * (chains + 1),

@@ -28,6 +28,15 @@ from pmfm_tpu.kernels.synth_fitness import _sin_turns, _tri_strict
 POP, PB, N, C, K = 1 << 15, 1024, 1024, 128, 512
 ITERS = 50
 so = make_spectrum_ops(N, method="dft", dft_dtype=jnp.bfloat16)
+# this probe's private kernel predates the folded DFT (it ablates the
+# unfolded structure, which is still the right shape for attributing
+# synthesis/VPU vs matmul cost) — build the unfolded (2K, N) operand
+# explicitly; SpectrumOps.dft_packed is now the folded (2K, N/2) form
+import jax.numpy as _jnp
+
+DFT_UNFOLDED = _jnp.concatenate([so.dft_cos, so.dft_sin], axis=1).T.astype(
+    _jnp.bfloat16
+)
 
 
 def _kernel(p_ref, dft_ref, tgt_ref, tri_ref, fit_ref, audio, *, variant):
@@ -114,7 +123,7 @@ def build(variant):
             scratch_shapes=[pltpu.VMEM((N, PB), jnp.bfloat16)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",)),
-        )(params, so.dft_packed, tgt, tri)
+        )(params, DFT_UNFOLDED, tgt, tri)
 
     return run
 
