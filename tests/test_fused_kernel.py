@@ -337,3 +337,32 @@ class TestVmemGating:
                                             num_offspring=(1 << 15) - 256)
         so = make_spectrum_ops(cfg)
         assert _fused_ok(cfg, so)
+
+
+class TestFoldDeepWindows:
+    """The delayed-reversal fold at nb >= 4 time blocks (multiple emission
+    windows + the next-sample carry chain); nb=2 is covered everywhere else."""
+
+    @pytest.mark.parametrize("dft_dtype", ["int8", "bfloat16"])
+    def test_n512_rank_agreement(self, dft_dtype):
+        from pmfm_tpu.es import ESConfig, make_spectrum_ops
+        from pmfm_tpu.es.strategy import evaluate
+
+        d = 6
+        cfg = ESConfig(
+            num_parents=16, num_offspring=112, num_dimensions=d,
+            topology="fm3_series", param_mins=(0.0,) * d,
+            param_maxs=(3520.0, 8.0) * 3, audio_length_log2=9,  # nb = 4
+            synthesis_engine="scanless", spectrum_method="dft",
+            dft_dtype=dft_dtype, fused_kernel=True, pop_block=128,
+        )
+        cfg32 = cfg.replace(dft_dtype="float32", fused_kernel=False)
+        so = make_spectrum_ops(cfg)
+        so32 = make_spectrum_ops(cfg32)
+        vals = jax.random.uniform(jax.random.PRNGKey(2), (128, d))
+        tgt = jnp.ones((so.num_bins,), jnp.float32)
+        f = np.asarray(evaluate(vals, tgt, so, cfg))
+        f32 = np.asarray(evaluate(vals, tgt, so32, cfg32))
+        top, top32 = np.argsort(f)[:16], np.argsort(f32)[:16]
+        assert top[0] == top32[0]
+        assert len(set(top) & set(top32)) >= 15
