@@ -87,6 +87,12 @@ class ESConfig:
     restart_patience: int = 0
 
     def __post_init__(self):
+        if self.pop_block < 1:
+            raise ValueError(f"pop_block must be >= 1, got {self.pop_block}")
+        if self.gens_per_step < 1:
+            raise ValueError(
+                f"gens_per_step must be >= 1, got {self.gens_per_step}"
+            )
         want = topology_dims(self.topology)  # raises on unknown names
         if self.num_dimensions != want:
             raise ValueError(

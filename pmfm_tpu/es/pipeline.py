@@ -45,6 +45,33 @@ def make_spectrum_ops(cfg: ESConfig) -> spectral.SpectrumOps:
     )
 
 
+def fused_generation_kwargs(cfg: ESConfig, spectrum_ops, *, pop=None, interpret=False) -> dict:
+    """The static/operand kwargs for ``kernels.generation.fused_generation``,
+    built from one (cfg, spectrum_ops) pair. The single source shared by the
+    single-chip step below and the sharded per-shard step
+    (parallel/sharded.py) so the two paths cannot drift."""
+    return dict(
+        pop=cfg.population_size if pop is None else pop,
+        param_mins=cfg.param_mins,
+        param_maxs=cfg.param_maxs,
+        topology=cfg.topology,
+        n=cfg.n_samples,
+        wavetable_size=cfg.wavetable_size,
+        sample_rate=cfg.sample_rate,
+        pop_block=cfg.pop_block,
+        interpret=interpret,
+        num_frames=cfg.num_frames,
+        alpha=cfg.alpha,
+        beta=cfg.beta,
+        beta_scale=cfg.beta_scale,
+        root_two_over_pi=cfg.root_two_over_pi,
+        clamp_values=cfg.clamp_values,
+        min_step=cfg.min_step,
+        dft_packed=spectrum_ops.dft_packed,
+        dft_scale=spectrum_ops.dft_packed_scale,
+    )
+
+
 def generation_step(
     state: ESState,
     target_spectrum: jax.Array,
@@ -78,24 +105,9 @@ def generation_step(
             spectrum_ops.dft_cos,
             spectrum_ops.dft_sin,
             target_spectrum,
-            pop=cfg.population_size,
-            param_mins=cfg.param_mins,
-            param_maxs=cfg.param_maxs,
-            topology=cfg.topology,
-            n=cfg.n_samples,
-            wavetable_size=cfg.wavetable_size,
-            sample_rate=cfg.sample_rate,
-            pop_block=cfg.pop_block,
-            interpret=jax.default_backend() == "cpu",
-            num_frames=cfg.num_frames,
-            alpha=cfg.alpha,
-            beta=cfg.beta,
-            beta_scale=cfg.beta_scale,
-            root_two_over_pi=cfg.root_two_over_pi,
-            clamp_values=cfg.clamp_values,
-            min_step=cfg.min_step,
-            dft_packed=spectrum_ops.dft_packed,
-            dft_scale=spectrum_ops.dft_packed_scale,
+            **fused_generation_kwargs(
+                cfg, spectrum_ops, interpret=jax.default_backend() == "cpu"
+            ),
         )
     else:
         key, k_rec, k_mut = jax.random.split(state.key, 3)
@@ -154,11 +166,15 @@ def _evolve_mega(
     generations (kernels/evolve.py — per-invocation VMEM cost paid once)."""
     from ..kernels.evolve import fused_evolve
 
+    if num_generations == 0:  # match the scan path's no-op behaviour
+        traj0 = jnp.zeros((0,), jnp.float32) if record_trajectory else None
+        return state, traj0
+
     key, k_seed = jax.random.split(state.key)
     seed = jax.random.randint(k_seed, (), 0, 2**31 - 1)
-    pb = cfg.pop_block
-    while cfg.population_size % pb:
-        pb //= 2
+    from ..kernels.synth_fitness import resolve_pop_block
+
+    pb = resolve_pop_block(cfg.population_size, cfg.pop_block)
     pv, ps, pf, bv, bf, traj = fused_evolve(
         seed,
         state.parent_values,
@@ -372,11 +388,11 @@ def match_audio_stft(
         if cfg.num_frames == 1:
             tframes = tframes[0]
         state = init_state(key, cfg)
-        final = evolve_checkpointed(
+        final, traj = evolve_checkpointed(
             state, tframes, num_generations, so, cfg, checkpoint_dir,
             every=checkpoint_every, mesh=mesh,
+            record_trajectory=record_trajectory,
         )
-        traj = None
         mins = jnp.asarray(cfg.param_mins, jnp.float32)
         maxs = jnp.asarray(cfg.param_maxs, jnp.float32)
         best_scaled = synthesis.scale_params(final.best_values, mins, maxs)
@@ -556,7 +572,8 @@ def evolve_checkpointed(
     every: int = 100,
     chunk_index: int = 0,
     mesh: Any | None = None,
-) -> ESState:
+    record_trajectory: bool = False,
+):
     """``evolve`` with a generation-granularity checkpoint every ``every``
     generations (SURVEY.md §5.3: per-generation checkpointing is essentially
     free because ES state is O(mu*D)). A rerun with the same config resumes
@@ -568,25 +585,35 @@ def evolve_checkpointed(
     from ..utils.checkpoint import load_checkpoint, save_checkpoint
 
     loaded = load_checkpoint(checkpoint_dir, cfg, tag=f"gen_chunk{chunk_index}")
+    traj_parts: list[np.ndarray] = []
     if loaded is not None:
         state = loaded[0]
+        if record_trajectory and loaded[2] is not None:
+            traj_parts.append(loaded[2])
     start = int(state.generation)
     if mesh is not None:
         from ..parallel.sharded import evolve_sharded as _evolve
 
         def seg(s, n):
-            return _evolve(s, target_spectrum, n, spectrum_ops, cfg, mesh)[0]
+            return _evolve(s, target_spectrum, n, spectrum_ops, cfg, mesh,
+                           record_trajectory=record_trajectory)
     else:
 
         def seg(s, n):
-            return evolve(s, target_spectrum, n, spectrum_ops, cfg)[0]
+            return evolve(s, target_spectrum, n, spectrum_ops, cfg,
+                          record_trajectory=record_trajectory)
 
     done = start
     while done < num_generations:
         n = min(every, num_generations - done)
-        state = seg(state, n)
+        state, traj = seg(state, n)
         jax.block_until_ready(state.best_fitness)
         done += n
+        if record_trajectory:
+            traj_parts.append(np.asarray(traj))
+        full_traj = np.concatenate(traj_parts) if traj_parts else None
         save_checkpoint(checkpoint_dir, state, cfg, chunk_index,
-                        tag=f"gen_chunk{chunk_index}")
-    return state
+                        tag=f"gen_chunk{chunk_index}", trajectory=full_traj)
+    if record_trajectory:
+        return state, (np.concatenate(traj_parts) if traj_parts else np.zeros(0, np.float32))
+    return state, None

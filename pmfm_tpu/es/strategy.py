@@ -235,10 +235,10 @@ def _fused_vmem_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
     budget (large frames fall back to the XLA engines instead of failing at
     compile — e.g. bf16 n=4096's (2K, N) operand alone is 32 MB)."""
     n, k = cfg.n_samples, spectrum_ops.num_bins
+    from ..kernels.synth_fitness import resolve_pop_block
+
     pop = cfg.population_size
-    pb = min(cfg.pop_block, pop)
-    while pop % pb:
-        pb //= 2
+    pb = resolve_pop_block(pop, cfg.pop_block)
     int8_mode = spectrum_ops.dft_packed_scale > 0.0
     if int8_mode:
         dft_bytes = 2 * k * (n // 2)  # folded int8 operand
@@ -258,11 +258,11 @@ def _fused_vmem_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
 
 def _final_pop_block_ok(cfg: ESConfig) -> bool:
     """Mosaic needs the lane dim to be a multiple of 128 or the whole array:
-    check the pop_block that survives the divisibility halving."""
+    check the pop_block that survives the kernels' normalisation."""
+    from ..kernels.synth_fitness import resolve_pop_block
+
     pop = cfg.population_size
-    pb = min(cfg.pop_block, pop)
-    while pop % pb:
-        pb //= 2
+    pb = resolve_pop_block(pop, cfg.pop_block)
     return pb % 128 == 0 or pb == pop
 
 
@@ -286,9 +286,9 @@ def evaluate(
 
         from ..kernels.synth_fitness import TIME_BLOCK, fused_synth_fitness
 
-        pb = cfg.pop_block
-        while cfg.population_size % pb:
-            pb //= 2
+        from ..kernels.synth_fitness import resolve_pop_block
+
+        pb = resolve_pop_block(cfg.population_size, cfg.pop_block)
         return fused_synth_fitness(
             scaled,
             spectrum_ops.dft_cos,

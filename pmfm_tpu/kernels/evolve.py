@@ -46,7 +46,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.wavetable import DEFAULT_SAMPLE_RATE, DEFAULT_WAVETABLE_SIZE
 from .generation import _offspring_block, _scale_rows
-from .synth_fitness import DEFAULT_POP_BLOCK, TIME_BLOCK, _evaluate_block, _tri_strict
+from .synth_fitness import (
+    DEFAULT_POP_BLOCK,
+    TIME_BLOCK,
+    _evaluate_block,
+    _tri_strict,
+    resolve_pop_block,
+)
 
 _RANK_CHUNK = 256  # lanes per rank-comparison chunk (bounds the (M, chunk) transient)
 # worst-possible fitness sentinel: must be FINITE — the survivors are
@@ -276,9 +282,7 @@ def fused_evolve(
     mu, d = parent_values.shape
     k = dft_packed.shape[0] // 2
     vr = _round8(d)
-    pb = min(pop_block, pop)
-    while pop % pb:
-        pb //= 2
+    pb = resolve_pop_block(pop, pop_block)
     if n % (2 * time_block):
         raise ValueError(
             f"n={n} must be a multiple of {2 * time_block} (the folded DFT "

@@ -26,7 +26,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.wavetable import DEFAULT_SAMPLE_RATE, DEFAULT_WAVETABLE_SIZE
-from .synth_fitness import DEFAULT_POP_BLOCK, TIME_BLOCK, _evaluate_block, _tri_strict
+from .synth_fitness import (
+    DEFAULT_POP_BLOCK,
+    TIME_BLOCK,
+    _evaluate_block,
+    _tri_strict,
+    resolve_pop_block,
+)
 
 
 def _uniform01(shape):
@@ -206,9 +212,7 @@ def fused_generation(
     """
     mu, d = parent_values.shape
     k = dft_cos.shape[1]
-    pb = min(pop_block, pop)
-    while pop % pb:
-        pb //= 2
+    pb = resolve_pop_block(pop, pop_block)
     if n % (2 * time_block):
         raise ValueError(
             f"n={n} must be a multiple of {2 * time_block} (the folded DFT "

@@ -35,6 +35,17 @@ DEFAULT_POP_BLOCK = 512
 TIME_BLOCK = 128
 
 
+def resolve_pop_block(pop: int, pop_block: int) -> int:
+    """The kernels' pop_block normalisation: clamp to the population, then
+    halve until it divides. One definition — the gating, the callers and the
+    kernels must all agree or a gate-approved config can hand Mosaic an
+    illegal lane block."""
+    pb = min(pop_block, pop)
+    while pop % pb:
+        pb //= 2
+    return pb
+
+
 def _chain_count(topology: str) -> int:
     """Oscillator chains advanced per sample (for the Mosaic cost estimate)."""
     if topology == "fm2":
@@ -418,9 +429,7 @@ def fused_synth_fitness(
     """
     pop, d = params_scaled.shape
     k = dft_cos.shape[1]
-    pb = min(pop_block, pop)
-    if pop % pb:
-        raise ValueError(f"population {pop} not divisible by pop_block {pb}")
+    pb = resolve_pop_block(pop, pop_block)
     if n % (2 * time_block):
         raise ValueError(
             f"n={n} must be a multiple of {2 * time_block} (the folded DFT "

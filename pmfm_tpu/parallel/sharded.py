@@ -86,7 +86,11 @@ def _evaluate_frames_local(
         osc_mode=cfg.osc_mode,
         unroll=cfg.scan_unroll,
         engine=cfg.synthesis_engine,
-        out_dtype=jnp.bfloat16 if cfg.dft_dtype == "bfloat16" else jnp.float32,
+        out_dtype=(
+            jnp.bfloat16
+            if cfg.dft_dtype in ("bfloat16", "int8")
+            else jnp.float32
+        ),
     )  # (F*N, pop_local)
     f0 = jax.lax.axis_index(FRAME_AXIS) * frames_local
     a = audio.reshape(cfg.num_frames, cfg.n_samples, audio.shape[-1])
@@ -151,6 +155,7 @@ def sharded_generation_step(
         k_rec, k_mut = jax.random.split(k_local)
 
         if use_fused:
+            from ..es.pipeline import fused_generation_kwargs
             from ..kernels.generation import fused_generation
 
             seed = jax.random.randint(k_rec, (), 0, 2**31 - 1)
@@ -161,33 +166,17 @@ def sharded_generation_step(
                 spectrum_ops.dft_cos,
                 spectrum_ops.dft_sin,
                 target_spectrum,
-                pop=lcfg.population_size,
-                param_mins=cfg.param_mins,
-                param_maxs=cfg.param_maxs,
-                topology=cfg.topology,
-                n=cfg.n_samples,
-                wavetable_size=cfg.wavetable_size,
-                sample_rate=cfg.sample_rate,
-                pop_block=cfg.pop_block,
-                interpret=interpret,
-                num_frames=cfg.num_frames,
-                alpha=cfg.alpha,
-                beta=cfg.beta,
-                beta_scale=cfg.beta_scale,
-                root_two_over_pi=cfg.root_two_over_pi,
-                clamp_values=cfg.clamp_values,
-                min_step=cfg.min_step,
-                dft_packed=spectrum_ops.dft_packed,
-                dft_scale=spectrum_ops.dft_packed_scale,
+                **fused_generation_kwargs(
+                    cfg, spectrum_ops,
+                    pop=lcfg.population_size, interpret=interpret,
+                ),
             )
         else:
             values, steps = recombine(
                 k_rec, state.parent_values, state.parent_steps, lcfg
             )
             values, steps = mutate(k_mut, values, steps, lcfg)
-        if use_fused:
-            pass  # fitness computed in-kernel above
-        elif n_frame_shards > 1:
+        if not use_fused and n_frame_shards > 1:
             # the key folds in only the pop index, so every frame-shard of a
             # pop shard generates identical offspring; each scores its own
             # frame window and the psum reassembles the full fitness
@@ -197,7 +186,7 @@ def sharded_generation_step(
                 ),
                 FRAME_AXIS,
             )
-        else:
+        elif not use_fused:
             fitness = evaluate(values, target_spectrum, spectrum_ops, lcfg)
 
         # local truncation, then O(mu) all-gather + replicated merge

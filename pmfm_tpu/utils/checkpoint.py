@@ -33,12 +33,17 @@ def save_checkpoint(
     cfg: ESConfig,
     chunk_index: int,
     tag: str = "latest",
+    trajectory: np.ndarray | None = None,
 ) -> str:
     directory = os.fspath(directory)
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"{tag}.npz")
     tmp = path + ".tmp.npz"  # .npz suffix keeps np.savez from renaming it
     arrays = {f"state_{k}": np.asarray(v) for k, v in state._asdict().items()}
+    if trajectory is not None:
+        # best-ever-per-generation history up to state.generation, so a
+        # resumed run keeps the full curve
+        arrays["trajectory"] = np.asarray(trajectory, np.float32)
     np.savez(
         tmp,
         chunk_index=np.int64(chunk_index),
@@ -63,4 +68,5 @@ def load_checkpoint(
         import jax.numpy as jnp
 
         state = ESState(*(jnp.asarray(z[f"state_{k}"]) for k in fields))
-        return state, int(z["chunk_index"])
+        traj = np.asarray(z["trajectory"]) if "trajectory" in z else None
+        return state, int(z["chunk_index"]), traj

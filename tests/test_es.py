@@ -210,17 +210,17 @@ class TestGenerationCheckpointing:
         s0 = init_state(jax.random.PRNGKey(31), cfg)
 
         # run 6 generations in segments of 2, checkpointing each segment
-        final = evolve_checkpointed(s0, tspec, 6, so, cfg, str(tmp_path), every=2)
+        final, _ = evolve_checkpointed(s0, tspec, 6, so, cfg, str(tmp_path), every=2)
         assert int(final.generation) == 6
 
         # "preempted" rerun starts from the checkpoint, not from scratch:
         # ask for 8 generations; only 2 more run on top of the saved 6
-        final2 = evolve_checkpointed(s0, tspec, 8, so, cfg, str(tmp_path), every=2)
+        final2, _ = evolve_checkpointed(s0, tspec, 8, so, cfg, str(tmp_path), every=2)
         assert int(final2.generation) == 8
         assert float(final2.best_fitness) <= float(final.best_fitness) + 1e-6
 
         # a no-op rerun (target already reached) returns the saved state
-        final3 = evolve_checkpointed(s0, tspec, 8, so, cfg, str(tmp_path), every=2)
+        final3, _ = evolve_checkpointed(s0, tspec, 8, so, cfg, str(tmp_path), every=2)
         assert int(final3.generation) == 8
 
 
@@ -248,3 +248,33 @@ class TestCompatMode:
         c = res.chunks[0]
         assert np.all(np.diff(c.trajectory) <= 1e-6)
         assert c.best_fitness < c.trajectory[0]
+
+
+class TestCheckpointedTrajectory:
+    def test_trajectory_survives_resume(self, tmp_path):
+        """record_trajectory with generation checkpointing: the curve is
+        persisted per segment and a resumed run returns the FULL history."""
+        import jax.numpy as jnp
+
+        from pmfm_tpu.es import ESConfig, init_state, make_spectrum_ops
+        from pmfm_tpu.es.pipeline import evolve_checkpointed
+
+        cfg = ESConfig(num_parents=4, num_offspring=12, num_dimensions=4,
+                       topology="fm2", param_mins=(0.0,) * 4,
+                       param_maxs=(3520.0, 8.0, 3520.0, 1.0),
+                       audio_length_log2=8)
+        so = make_spectrum_ops(cfg)
+        tspec = jnp.ones((so.num_bins,), jnp.float32)
+        s0 = init_state(jax.random.PRNGKey(0), cfg)
+        final, traj = evolve_checkpointed(
+            s0, tspec, 4, so, cfg, str(tmp_path), every=2,
+            record_trajectory=True)
+        assert traj.shape == (4,)
+        # resume to 8 generations: history includes the first four
+        final2, traj2 = evolve_checkpointed(
+            s0, tspec, 8, so, cfg, str(tmp_path), every=2,
+            record_trajectory=True)
+        assert int(final2.generation) == 8
+        assert traj2.shape == (8,)
+        np.testing.assert_array_equal(traj2[:4], traj)
+        assert np.all(np.diff(traj2) <= 1e-7)  # best-ever monotone

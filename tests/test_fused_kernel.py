@@ -366,3 +366,29 @@ class TestFoldDeepWindows:
         top, top32 = np.argsort(f)[:16], np.argsort(f32)[:16]
         assert top[0] == top32[0]
         assert len(set(top) & set(top32)) >= 15
+
+
+class TestPopBlockNormalization:
+    def test_gate_and_call_agree_for_odd_pops(self):
+        """resolve_pop_block is THE normalisation: for pop=48 < pop_block the
+        clamp must win (whole-array block), never the halving chain (which
+        would reach 16 — an illegal Mosaic lane block the gate approved)."""
+        from pmfm_tpu.kernels.synth_fitness import resolve_pop_block
+
+        assert resolve_pop_block(48, 512) == 48
+        assert resolve_pop_block(96, 512) == 96
+        assert resolve_pop_block(32768, 1024) == 1024
+        # and the fused path runs end-to-end at such a population
+        d = 4
+        cfg = ESConfig(
+            num_parents=16, num_offspring=32, num_dimensions=d,  # pop 48
+            topology="fm2", param_mins=(0.0,) * d,
+            param_maxs=(3520.0, 8.0, 3520.0, 1.0), audio_length_log2=8,
+            synthesis_engine="scanless", spectrum_method="dft",
+            dft_dtype="bfloat16", fused_kernel=True, pop_block=512,
+        )
+        so = make_spectrum_ops(cfg)
+        vals = jax.random.uniform(jax.random.PRNGKey(0), (48, d))
+        tgt = jnp.ones((so.num_bins,), jnp.float32)
+        fit = np.asarray(evaluate(vals, tgt, so, cfg))
+        assert np.isfinite(fit).all()

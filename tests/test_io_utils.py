@@ -162,8 +162,9 @@ class TestCheckpoint:
         save_checkpoint(tmp_path, s, cfg, chunk_index=3)
         out = load_checkpoint(tmp_path, cfg)
         assert out is not None
-        s2, ci = out
+        s2, ci, traj = out
         assert ci == 3
+        assert traj is None  # no trajectory was saved
         np.testing.assert_array_equal(np.asarray(s.parent_values), np.asarray(s2.parent_values))
         # mismatched config -> None
         assert load_checkpoint(tmp_path, cfg.replace(num_parents=8)) is None
