@@ -240,7 +240,8 @@ SUITES = {
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--suite", default="all", help=f"one of {list(SUITES)} or 'all'")
+    ap.add_argument("--suite", default="all", choices=[*SUITES, "all"],
+                    help=f"one of {list(SUITES)} or 'all'")
     ap.add_argument("--pop", type=int, default=1 << 15)
     ap.add_argument("--parents", type=int, default=256)
     ap.add_argument("--log2", type=int, default=10)

@@ -115,7 +115,10 @@ def main(argv: list[str] | None = None) -> int:
         overrides["audio_length_log2"] = args.audio_log2
     if overrides:
         cfg = cfg.replace(**overrides)
-    num_generations = args.generations or run_cfg.num_generations
+    num_generations = (
+        args.generations if args.generations is not None
+        else run_cfg.num_generations
+    )
 
     # --- batched multi-target mode ---------------------------------------
     if args.batch:
@@ -132,15 +135,20 @@ def main(argv: list[str] | None = None) -> int:
         results = match_many(targets, cfg, key=args.seed,
                              num_generations=num_generations)
         elapsed = time.perf_counter() - start
-        for path, r in zip(args.batch, results):
+        seen_paths: dict[str, int] = {}
+        for i, (path, r) in enumerate(zip(args.batch, results)):
             c = r.chunks[0]
             params_str = ", ".join(f"{v:.3f}" for v in c.best_params_scaled)
             print(f"{path}: fitness = {c.best_fitness:.6g}\n  params = [{params_str}]")
             if run_cfg.is_audio:
-                out_path = run_cfg.output_audio_path.replace(
-                    ".wav", f"_{os.path.splitext(os.path.basename(path))[0]}.wav"
-                )
-                write_wav(out_path, r.output_audio, loaded[0][1], normalize=True)
+                root, ext = os.path.splitext(run_cfg.output_audio_path)
+                stem = os.path.splitext(os.path.basename(path))[0]
+                out_path = f"{root}_{stem}{ext or '.wav'}"
+                if out_path in seen_paths:  # same basename twice: disambiguate
+                    out_path = f"{root}_{stem}_{i}{ext or '.wav'}"
+                seen_paths[out_path] = i
+                # per-target sample rate (targets may differ)
+                write_wav(out_path, r.output_audio, loaded[i][1], normalize=True)
         if not args.quiet:
             print(f"\nTotal time to complete: {elapsed:.3f}s "
                   f"({len(results)} targets, concurrent)")
@@ -325,8 +333,9 @@ def main(argv: list[str] | None = None) -> int:
             print(f"wrote {run_cfg.output_audio_path}")
 
     if bm is not None:
-        bm.elapsed_timer("chunk")
-        bm.elapsed_timer("Total Audio Analysis Time")
+        if bm.has_timer("chunk"):  # only the chunk modes feed it
+            bm.elapsed_timer("chunk")
+            bm.elapsed_timer("Total Audio Analysis Time")
         bm.close()
     return 0
 

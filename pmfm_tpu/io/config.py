@@ -13,8 +13,10 @@ SURVEY.md §5.6):
 Reference quirks deliberately fixed (SURVEY.md §7.4/§5.6):
   * ``wavetableSize`` is honoured (the reference parses it and then hardcodes
     32768);
-  * ``fitnessThreshold`` is live as an early-stop criterion (dead in the
-    reference);
+  * ``fitnessThreshold`` can be made live as an early-stop criterion (dead
+    in the reference) by setting ``tpu.useFitnessThreshold: true`` — opt-in
+    so unmodified reference configs keep reference behaviour (their
+    threshold values assume it is never consulted);
   * ``implementation`` values naming GPU backends are accepted and mapped to
     the TPU engine (so reference config files run unmodified).
 
@@ -130,9 +132,11 @@ def parse_config(j: dict[str, Any]) -> RunConfig:
         restart_patience=int(tpu.get("restartPatience", 0)),
         dft_dtype=tpu.get("dftDtype", "float32"),
         workgroup_size=int(
-            typ.get(typ.get("implementation", "OpenCL"), {}).get("workgroupSize", 32)
-            if isinstance(typ.get(typ.get("implementation", "")), dict)
-            else 32
+            (
+                typ.get(typ.get("implementation", "OpenCL"), {})
+                if isinstance(typ.get(typ.get("implementation", "OpenCL")), dict)
+                else {}
+            ).get("workgroupSize", 32)
         ),
         fitness_threshold=float(evo.get("fitnessThreshold", 0.0))
         if tpu.get("useFitnessThreshold", False)

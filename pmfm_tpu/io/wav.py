@@ -50,14 +50,20 @@ def read_wav(path: str | os.PathLike) -> tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             payload = body
         pos += 8 + size + (size & 1)
     if fmt is None or payload is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(payload) >= 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1  # assume PCM subformat
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # the real format is the first two bytes of the SubFormat GUID at
+        # fmt-body offset 24 (after cbSize + validBits + channelMask)
+        if len(fmt_body) >= 26:
+            (audio_format,) = struct.unpack_from("<H", fmt_body, 24)
+        else:
+            audio_format = 1  # malformed extensible header: assume PCM
     if audio_format == 3:  # IEEE float
         x = np.frombuffer(payload, "<f4").astype(np.float32)
     elif audio_format == 1:

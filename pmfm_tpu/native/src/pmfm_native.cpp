@@ -79,7 +79,15 @@ int pmfm_wav_read(const char* path, float** out, int64_t* out_len,
       std::memcpy(&fmt.channels, body + 2, 2);
       std::memcpy(&fmt.sample_rate, body + 4, 4);
       std::memcpy(&fmt.bits, body + 14, 2);
-      if (fmt.format == 0xFFFE) fmt.format = 1;  // extensible -> assume PCM
+      if (fmt.format == 0xFFFE) {
+        // WAVE_FORMAT_EXTENSIBLE: the real format is the first two bytes
+        // of the SubFormat GUID at fmt-body offset 24
+        if (size >= 26) {
+          std::memcpy(&fmt.format, body + 24, 2);
+        } else {
+          fmt.format = 1;  // malformed extensible header: assume PCM
+        }
+      }
     } else if (std::memcmp(d.data() + pos, "data", 4) == 0) {
       payload = body;
       payload_size = size;

@@ -140,7 +140,8 @@ def make_spectrum_ops(
             # reference window peaks at 2.0); norm moves to dft_packed_scale.
             # Audio is quantised at 63 LSB/unit so the fold sums a+/- =
             # q[n] +- q[N-n] stay within int8.
-            assert n % 2 == 0, "int8 folded engine needs even n"
+            if n % 2:
+                raise ValueError("the int8 folded engine needs even n")
             q = np.concatenate(
                 [np.cos(ang) * w[:, None], np.sin(ang) * -w[:, None]], axis=1
             ).T[:, : n // 2] * 63.5

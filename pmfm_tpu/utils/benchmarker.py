@@ -105,6 +105,12 @@ class Benchmarker:
     def add_timer(self, name: str, duration_ms: float) -> None:
         self._get(name).add(duration_ms)
 
+    def has_timer(self, name: str) -> bool:
+        """Whether any measurement was recorded under ``name`` (lets callers
+        skip reporting all-zero rows for modes that never fed the timer)."""
+        t = self._timers.get(name)
+        return t is not None and t.count > 0
+
     # -- reporting (Benchmarker.hpp:132-162) ------------------------------
     def elapsed_timer(self, name: str) -> dict:
         t = self._timers.get(name)

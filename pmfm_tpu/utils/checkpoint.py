@@ -56,8 +56,9 @@ def save_checkpoint(
 
 def load_checkpoint(
     directory: str | os.PathLike, cfg: ESConfig, tag: str = "latest"
-) -> tuple[ESState, int] | None:
-    """Returns (state, chunk_index) or None if absent/mismatched config."""
+) -> tuple[ESState, int, "np.ndarray | None"] | None:
+    """Returns (state, chunk_index, trajectory-or-None), or None if the
+    checkpoint is absent or was written with a different config."""
     path = os.path.join(os.fspath(directory), f"{tag}.npz")
     if not os.path.exists(path):
         return None

@@ -385,3 +385,42 @@ class TestCLICheckpointEvery:
         assert rc == 0
         assert list(ck.glob("gen_chunk0.npz"))
         out = capsys.readouterr().out
+
+
+class TestWavExtensible:
+    def test_extensible_float32_decodes(self, tmp_path):
+        """WAVE_FORMAT_EXTENSIBLE float32 (common DAW export): the real
+        format lives in the SubFormat GUID — decoding it as PCM int32 would
+        silently produce garbage targets. Covers both the native codec and
+        the pure-Python fallback."""
+        import struct
+
+        from pmfm_tpu.io.wav import read_wav
+
+        audio = np.sin(np.linspace(0, 20, 500)).astype(np.float32)
+        guid = struct.pack("<HH", 3, 0) + b"\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71\x00\x00"
+        fmt_body = (
+            struct.pack("<HHIIHH", 0xFFFE, 1, 44100, 44100 * 4, 4, 32)
+            + struct.pack("<HHI", 22, 32, 0)
+            + guid[:16]
+        )
+        payload = audio.tobytes()
+        data = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        data += b"data" + struct.pack("<I", len(payload)) + payload
+        riff = b"RIFF" + struct.pack("<I", 4 + len(data)) + b"WAVE" + data
+        p = tmp_path / "ext.wav"
+        p.write_bytes(riff)
+        x, sr = read_wav(p)  # native path (if built)
+        np.testing.assert_array_equal(x, audio)
+        assert sr == 44100
+        # pure-Python fallback
+        import pmfm_tpu.io.wav as wavmod
+
+        orig = wavmod._try_native
+        wavmod._try_native = lambda: None
+        try:
+            x2, sr2 = wavmod.read_wav(p)
+        finally:
+            wavmod._try_native = orig
+        np.testing.assert_array_equal(x2, audio)
+        assert sr2 == 44100
