@@ -42,7 +42,13 @@ def _enable_compile_cache():
 
 POP = 1 << 15
 AUDIO_LOG2 = 10
-GENS = 100
+# The reference's default workload is numGenerations=1000 per chunk
+# (parameters.json:25); benching at that length also amortises the axon
+# dev-tunnel's ~25 ms per-dispatch round trip, which is a property of this
+# test harness (remote TPU over a tunnel), not of the chip or the
+# framework. Measured per-generation time: 0.871 ms at GENS=100 vs
+# 0.628 ms at GENS=1000 — the difference is exactly the fixed per-run cost.
+GENS = 1000
 MU = 256
 
 
