@@ -71,6 +71,13 @@ def main():
         spectrum_method="dft",
         dft_dtype="int8",  # exact int32-accumulated DFT, 2x MXU rate (KERNELS.md)
         mutation_noise="clt12",
+        # 7th-order sine polynomial: +3.9% over the order-9 default at a
+        # ranking error indistinguishable from the int8 noise floor, and
+        # QUALITY-NEUTRAL on real known-params matching under f32 rescoring
+        # (median best-fitness 77k vs 98k/16 seeds — within seed noise;
+        # order 5 rescores 3.5x WORSE and is rejected). Gates:
+        # tools/tpu_sine_order_probe.py + tools/convergence_check.py.
+        sine_order=7,
         fused_kernel=True,
         fused_generation=True,  # whole generation in one Pallas kernel
         # fused_evolve (the all-generations mega-kernel) was ~4.5% faster

@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "of tracing/compiling the matcher")
     p.add_argument("--input-generated-path", default="inputGenerated.wav",
                    help="where params-mode targets are written (main.cpp:226)")
+    p.add_argument("--platform", default=None, metavar="NAME",
+                   help="force the JAX platform (e.g. 'cpu', 'tpu') — applied "
+                        "in-process before backend init, which also wins over "
+                        "site-level JAX_PLATFORMS overrides")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--list-devices", action="store_true",
                    help="print available accelerator devices and exit "
@@ -80,6 +84,12 @@ def main(argv: list[str] | None = None) -> int:
 
     # Defer heavy imports so `pmfm --help` is instant.
     import jax
+
+    if args.platform:
+        # jax.config wins over env-var / site-level platform selection as
+        # long as no backend has been initialised yet (device selection
+        # analog of Evolutionary_Strategy_OpenCL.hpp:194-226)
+        jax.config.update("jax_platforms", args.platform)
 
     from .utils.compile_cache import enable_compile_cache
 

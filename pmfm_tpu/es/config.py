@@ -75,6 +75,14 @@ class ESConfig:
     # halved VMEM footprint, exact int32 accumulation (ops/spectral.py);
     # elsewhere it silently degrades to bfloat16 (pipeline.make_spectrum_ops)
     dft_dtype: str = "float32"
+    # Oscillator polynomial order in the fused kernels (9, 7 or 5; odd
+    # minimax fit of sin(2*pi*w), kernels/synth_fitness._sin_turn_coeffs).
+    # Measured at the int8 bench config (tools/tpu_sine_order_probe.py):
+    # 9 = 2e-6 max err (below every quantisation); 7 = +3.9% throughput at
+    # ~int8-noise-level ranking error (med rel 2.0e-3 vs f32, 255/256 top-mu
+    # overlap); 5 = +9.7% but 1.4e-2 med rel — measurably degraded ranking.
+    # XLA paths always use jnp.sin.
+    sine_order: int = 9
 
     # capability upgrades over the reference (SURVEY.md §7.2 item 8)
     fitness_threshold: float = 0.0  # 0 disables early stop (dead knob in ref)
@@ -110,6 +118,8 @@ class ESConfig:
             raise ValueError("need num_parents > 0 and num_offspring >= 0")
         if self.num_frames < 1:
             raise ValueError("num_frames must be >= 1")
+        if self.sine_order not in (5, 7, 9):
+            raise ValueError("sine_order must be 5, 7 or 9")
 
     # --- derived ---------------------------------------------------------
     @property

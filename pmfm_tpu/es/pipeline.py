@@ -69,6 +69,7 @@ def fused_generation_kwargs(cfg: ESConfig, spectrum_ops, *, pop=None, interpret=
         min_step=cfg.min_step,
         dft_packed=spectrum_ops.dft_packed,
         dft_scale=spectrum_ops.dft_packed_scale,
+        sine_order=cfg.sine_order,
     )
 
 
@@ -202,6 +203,7 @@ def _evolve_mega(
         min_step=cfg.min_step,
         dft_scale=spectrum_ops.dft_packed_scale,
         gens_per_step=cfg.gens_per_step,
+        sine_order=cfg.sine_order,
     )
     # stall = generations since the best improved, recovered from the
     # best-ever trajectory the kernel always emits

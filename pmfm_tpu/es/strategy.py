@@ -303,6 +303,7 @@ def evaluate(
             num_frames=cfg.num_frames,
             dft_packed=spectrum_ops.dft_packed,
             dft_scale=spectrum_ops.dft_packed_scale,
+            sine_order=cfg.sine_order,
         )
     audio = synthesis.synthesize(
         scaled,

@@ -37,6 +37,7 @@ TPU extension section (all optional)::
     "minStep": 0.0,                 # mutation step floor (0 = reference)
     "restartPatience": 0,           # restart parents after N stalled gens
     "dftDtype": "float32",          # float32 | bfloat16 | int8
+    "sineOrder": 9,                 # fused-kernel sine polynomial (9 | 7 | 5)
     "numBins": null,
     "meshShape": [8],               # population-sharding mesh (parallel/)
     "meshAxisNames": ["pop"]
@@ -129,6 +130,7 @@ def parse_config(j: dict[str, Any]) -> RunConfig:
         recombine_mode=tpu.get("recombineMode", "gather"),
         mutation_noise=tpu.get("mutationNoise", "clt12"),
         min_step=float(tpu.get("minStep", 0.0)),
+        sine_order=int(tpu.get("sineOrder", 9)),
         restart_patience=int(tpu.get("restartPatience", 0)),
         dft_dtype=tpu.get("dftDtype", "float32"),
         workgroup_size=int(

@@ -235,7 +235,7 @@ def _evolve_kernel(
         "wavetable_size", "sample_rate", "pop_block", "interpret",
         "time_block", "num_frames", "alpha", "beta", "beta_scale",
         "root_two_over_pi", "clamp_values", "min_step", "dft_scale",
-        "gens_per_step",
+        "gens_per_step", "sine_order",
     ),
 )
 def fused_evolve(
@@ -267,6 +267,7 @@ def fused_evolve(
     min_step: float = 0.0,
     dft_scale: float = 0.0,
     gens_per_step: int = 1,
+    sine_order: int = 9,
 ):
     """Run ``gens`` complete ES generations in one kernel invocation.
 
@@ -344,6 +345,7 @@ def fused_evolve(
         w2sr=wavetable_size / float(sample_rate),
         num_frames=num_frames,
         dft_scale=dft_scale,
+        sine_order=sine_order,
     )
     kwargs = {}
     if interpret:

@@ -174,7 +174,7 @@ def _gen_kernel(
         "topology", "n", "wavetable_size", "sample_rate", "pop", "pop_block",
         "interpret", "time_block", "num_frames", "alpha", "beta", "beta_scale",
         "root_two_over_pi", "clamp_values", "param_mins", "param_maxs",
-        "min_step", "dft_scale",
+        "min_step", "dft_scale", "sine_order",
     ),
 )
 def fused_generation(
@@ -204,6 +204,7 @@ def fused_generation(
     min_step: float = 0.0,
     dft_packed: jax.Array | None = None,
     dft_scale: float = 0.0,
+    sine_order: int = 9,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One whole generation's offspring + fitness.
 
@@ -267,6 +268,7 @@ def fused_generation(
         w2sr=wavetable_size / float(sample_rate),
         num_frames=num_frames,
         dft_scale=dft_scale,
+        sine_order=sine_order,
     )
     kwargs = {}
     if interpret:

@@ -75,24 +75,28 @@ def _tri_strict(c: int) -> np.ndarray:
 # fitted on Chebyshev nodes. Max abs error ~2e-6 — far below the bf16
 # quantisation of the kernel's audio (2^-8), so the approximation is free
 # accuracy-wise and ~3x cheaper than a libm-grade sine on the VPU.
-def _sin_turn_coeffs() -> np.ndarray:
+@functools.lru_cache(maxsize=None)
+def _sin_turn_coeffs(order: int = 9) -> tuple:
+    """Odd-power coefficients (c1, c3, ..., c_order) fitted on Chebyshev
+    nodes. Max abs error: ~2e-6 at order 9, ~1.1e-4 at 7, ~7e-3 at 5
+    (ESConfig.sine_order documents the measured throughput/ranking trade)."""
     w = 0.5 * np.cos(np.pi * (np.arange(2000) + 0.5) / 2000)  # (0, 0.5]
     target = np.sin(2 * np.pi * w)
-    A = np.stack([w, w**3, w**5, w**7, w**9], axis=1)
+    A = np.stack([w**j for j in range(1, order + 1, 2)], axis=1)
     coef, *_ = np.linalg.lstsq(A, target, rcond=None)
-    return coef.astype(np.float32)
+    return tuple(coef.astype(np.float32).tolist())
 
 
-_SIN_COEF = _sin_turn_coeffs()
-
-
-def _sin_turns(w, scale: float = 1.0):
+def _sin_turns(w, scale: float = 1.0, order: int = 9):
     """scale * sin(2*pi*w) for w in [-0.5, 0.5]. ``scale`` is folded into the
     polynomial coefficients at trace time (free — used to emit 127*sin for
     the int8 audio quantisation without an extra VPU pass)."""
-    c1, c3, c5, c7, c9 = (jnp.float32(v * scale) for v in _SIN_COEF)
+    cs = [jnp.float32(v * scale) for v in _sin_turn_coeffs(order)]
     w2 = w * w
-    return w * (c1 + w2 * (c3 + w2 * (c5 + w2 * (c7 + w2 * c9))))
+    acc = cs[-1]
+    for cj in reversed(cs[:-1]):  # Horner in w^2
+        acc = cj + w2 * acc
+    return w * acc
 
 
 def _evaluate_block(
@@ -111,6 +115,7 @@ def _evaluate_block(
     w2sr: float,
     num_frames: int = 1,
     dft_scale: float = 0.0,
+    sine_order: int = 9,
 ):
     """Shared kernel body: synthesise one population block and return its
     fitness row ``(1, PB)``. Used by both the evaluate-only kernel and the
@@ -166,12 +171,15 @@ def _evaluate_block(
         return x - jnp.floor(x)
 
     def osc(x):  # sin(2*pi*x) for any x; round-reduce to [-0.5, 0.5] turns
-        return _sin_turns(x - jnp.floor(x + 0.5))
+        return _sin_turns(x - jnp.floor(x + 0.5), order=sine_order)
 
     def osc_out(x):  # OUTPUT oscillator: 63*sin in int8 mode (gain is free
         # — folded into the polynomial coefficients, see _sin_turns; 63 keeps
         # the folded sums a+/- = q[n] +- q[N-n] within int8)
-        return _sin_turns(x - jnp.floor(x + 0.5), 63.0 if int8_mode else 1.0)
+        return _sin_turns(
+            x - jnp.floor(x + 0.5), 63.0 if int8_mode else 1.0,
+            order=sine_order,
+        )
 
     def row(i):  # (1, PB)
         return p[i : i + 1, :]
@@ -392,7 +400,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("topology", "n", "wavetable_size", "sample_rate", "pop_block", "interpret", "time_block", "num_frames", "dft_scale"),
+    static_argnames=("topology", "n", "wavetable_size", "sample_rate", "pop_block", "interpret", "time_block", "num_frames", "dft_scale", "sine_order"),
 )
 def fused_synth_fitness(
     params_scaled: jax.Array,  # (P, D) f32
@@ -409,6 +417,7 @@ def fused_synth_fitness(
     num_frames: int = 1,
     dft_packed: jax.Array | None = None,
     dft_scale: float = 0.0,
+    sine_order: int = 9,
 ) -> jax.Array:
     """Fitness for the whole population; returns ``(P,)`` f32.
 
@@ -478,6 +487,7 @@ def fused_synth_fitness(
         w2sr=wavetable_size / float(sample_rate),
         num_frames=num_frames,
         dft_scale=dft_scale,
+        sine_order=sine_order,
     )
     grid = (pop // pb,)
     chains = _chain_count(topology)

@@ -240,6 +240,30 @@ class TestInt8Engine:
         assert top8[0] == top32[0]
         assert len(set(top8) & set(top32)) >= 15
 
+    def test_sine_order_knob(self):
+        """ESConfig.sine_order swaps the oscillator polynomial in the fused
+        kernels (9 = default/exactest; 7 and 5 trade accuracy for VPU FLOPs,
+        tools/tpu_sine_order_probe.py). Lower orders must actually change
+        the audio (regression: module-level jit caches must key on it) while
+        keeping the ranking consistent at order 7."""
+        vals = jax.random.uniform(jax.random.PRNGKey(0), (128, 6))
+        fits = {}
+        for order in (9, 7, 5):
+            cfg = self._cfg("fm3_series", 6, "int8", fused_kernel=True,
+                            sine_order=order)
+            so = make_spectrum_ops(cfg)
+            tgt = jnp.ones((so.num_bins,), jnp.float32)
+            fits[order] = np.asarray(evaluate(vals, tgt, so, cfg))
+        d97 = np.median(np.abs(fits[9] - fits[7]) / np.abs(fits[9]))
+        d95 = np.median(np.abs(fits[9] - fits[5]) / np.abs(fits[9]))
+        assert d97 > 0.0  # the knob reaches the kernel
+        assert d95 > d97  # error grows as the order drops
+        top9 = set(np.argsort(fits[9])[:16].tolist())
+        top7 = set(np.argsort(fits[7])[:16].tolist())
+        assert len(top9 & top7) >= 15
+        with pytest.raises(ValueError, match="sine_order"):
+            self._cfg("fm3_series", 6, "int8", sine_order=6)
+
     def test_parallel_topology_int8_supported(self):
         """fm3_parallel factors the mean amplitude out (three summed pairs),
         so it gets the int8 engine too — no bf16 downgrade."""
