@@ -180,6 +180,12 @@ def suite_optimizations(args, bm):
         "whole-run+int8": dict(synthesis_engine="scanless", spectrum_method="dft",
                                dft_dtype="int8", fused_kernel=True,
                                fused_generation=True, fused_evolve=True),
+        # the bench.py config: scan-of-fused-generations + order-7 sine
+        # (quality-neutral under tools/convergence_check.py's f32 rescoring)
+        "fused-generation+int8+sin7": dict(
+            synthesis_engine="scanless", spectrum_method="dft",
+            dft_dtype="int8", fused_kernel=True, fused_generation=True,
+            sine_order=7),
     }
     for name, over in variants.items():
         cfg = _base_cfg(args, **over)
