@@ -73,3 +73,26 @@ class TestCLITrajectory:
         rc = main(["-j", str(p), "--trajectory", "--quiet",
                    "--input-generated-path", str(tmp_path / "ig.wav")])
         assert rc == 0
+
+
+class TestConvergenceCheckTool:
+    def test_smoke(self, capsys):
+        """tools/convergence_check.py (the quality gate behind every
+        throughput rung, benchmarks/quality_gates.json) runs end-to-end at
+        toy scale and rescoring produces finite fitness for each variant."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "convergence_check",
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "convergence_check.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        rc = mod.main(["--variants", "f32", "int8+sin7", "--seeds", "1",
+                       "--gens", "2", "--pop-log2", "7", "--mu", "8"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "f32" in out and "int8+sin7" in out
+        assert "nan" not in out.lower()
