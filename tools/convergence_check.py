@@ -53,13 +53,11 @@ VARIANTS = {
                       fused_generation=True, sine_order=7),
     "int8+sin5": dict(dft_dtype="int8", fused_kernel=True,
                       fused_generation=True, sine_order=5),
-    "sin9": dict(dft_dtype="int8", fused_kernel=True, fused_generation=True,
-                 sine_order=9),  # alias of int8 (sine-order sweep naming)
-    "sin7": dict(dft_dtype="int8", fused_kernel=True, fused_generation=True,
-                 sine_order=7),
-    "sin5": dict(dft_dtype="int8", fused_kernel=True, fused_generation=True,
-                 sine_order=5),
 }
+# sine-order sweep aliases (same configs, shorter names)
+VARIANTS["sin9"] = VARIANTS["int8"]
+VARIANTS["sin7"] = VARIANTS["int8+sin7"]
+VARIANTS["sin5"] = VARIANTS["int8+sin5"]
 
 
 def main(argv=None) -> int:

@@ -29,19 +29,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pmfm_tpu.io.wav import write_wav  # noqa: E402
 from pmfm_tpu.ops.oracle import OracleObjective  # noqa: E402
 
-# fm3_series scaled parameters [I1, F1, I2, F2, I3, F3] (oracle.synthesize
-# layout; within examples/audio_match.json's paramMaxs [3520,8,...] after
-# the reference's (min,max) ordering swap — frequencies in Hz, indices
-# dimensionless). One "voice" per analysis chunk.
+# fm3_series scaled parameters [I1, F1, I2, F2, I3, F3]: EVEN dims are the
+# modulation indices (paramMaxs 3520), ODD dims the oscillator rate /
+# carrier offsets in Hz (paramMaxs 8) — the reference's own convention
+# (Evolutionary_Strategy.hpp:403-448: inc1 = w2sr*p[1], carrier offsets
+# p[3]/p[5]; modulation amounts p[2j]*p[2j+1]). Every voice stays inside
+# examples/audio_match.json's paramMins/Maxs so the matcher can actually
+# reach it; voice 0 is the reference's example target (parameters.json:39).
 VOICES = [
-    [1.5, 110.0, 2.0, 220.0, 0.8, 440.0],
-    [3.0, 220.0, 1.0, 660.0, 1.2, 330.0],
-    [0.5, 55.0, 4.0, 880.0, 0.6, 1760.0],
-    [2.2, 330.0, 2.2, 440.0, 1.0, 550.0],
-    [5.0, 440.0, 0.7, 1320.0, 0.9, 880.0],
-    [1.0, 165.0, 3.3, 275.0, 1.5, 715.0],
-    [4.0, 880.0, 1.8, 110.0, 0.7, 2200.0],
-    [2.8, 260.0, 2.8, 520.0, 1.1, 1040.0],
+    [3078.0, 2.0, 3015.0, 1.5, 3141.0, 1.0],
+    [1500.0, 3.5, 2200.0, 0.8, 900.0, 2.4],
+    [440.0, 6.0, 1200.0, 2.2, 2500.0, 0.5],
+    [2800.0, 1.1, 600.0, 4.3, 1800.0, 1.7],
+    [950.0, 5.2, 3300.0, 0.6, 700.0, 3.1],
+    [2000.0, 2.7, 1400.0, 3.8, 1100.0, 0.9],
+    [600.0, 7.5, 800.0, 1.3, 3400.0, 2.0],
+    [1750.0, 4.4, 2600.0, 2.9, 450.0, 6.5],
 ]
 
 

@@ -23,7 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_tpu_cache")
+if not jax.config.jax_compilation_cache_dir:
+    from pmfm_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
 from pmfm_tpu.es import ESConfig, init_state, make_spectrum_ops  # noqa: E402
 from pmfm_tpu.es.pipeline import evaluate, evolve  # noqa: E402
