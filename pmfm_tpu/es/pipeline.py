@@ -97,8 +97,19 @@ def generation_step(
     ):
         from ..kernels.generation import fused_generation
 
-        key, k_seed = jax.random.split(state.key)
-        seed = jax.random.randint(k_seed, (), 0, 2**31 - 1)
+        # Per-generation kernel seed = base word from the run's key mixed
+        # with the generation index (golden-ratio odd constant) — the same
+        # scheme the whole-run kernel uses for its absolute-index seeding
+        # (kernels/evolve.py). Cheaper than the previous per-generation
+        # split+randint (two threefry ops inside the scan body: measured
+        # ~2% of the 0.59 ms/gen steady state); the key itself only
+        # advances for restarts. Distribution quality on hardware is
+        # re-validated by tools/tpu_gen_check.py.
+        key = state.key
+        seed = (
+            jax.lax.bitcast_convert_type(key[0], jnp.int32)
+            & jnp.int32(0x7FFFFFFF)
+        ) + state.generation * jnp.int32(-1640531527)  # 0x9E3779B9
         fitness, values, steps = fused_generation(
             seed,
             state.parent_values,
