@@ -49,9 +49,9 @@ class ESConfig:
     # engine knobs (new, TPU-native)
     fused_kernel: bool = False  # Pallas fused synth+DFT+fitness (kernels/)
     fused_generation: bool = False  # whole generation in one kernel (in-kernel PRNG)
-    # ALL generations in one kernel invocation (kernels/evolve.py) — opt-in:
-    # ~4.5% faster than the per-generation scan at the int8 bench config
-    # (in-kernel selection replaces the XLA top_k + per-gen dispatch); the
+    # ALL generations in one kernel invocation (kernels/evolve.py) — opt-in
+    # ablation: pre-fold it beat the per-generation scan by ~4.5%, but the
+    # folded DFT flipped that (scan wins by ~4.6%, docs/KERNELS.md); the
     # scan path additionally supports restarts, early stop and mesh sharding
     fused_evolve: bool = False
     # fused_evolve only: generations folded into ONE grid step (the
