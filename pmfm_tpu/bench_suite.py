@@ -58,6 +58,16 @@ def _make_runner(cfg, gens):
     return lambda: run(jr.PRNGKey(0))
 
 
+# --engine presets: "default" = bf16 + --fused flag; "flagship" = the
+# bench.py engine (folded int8, fully-fused generation, order-7 sine)
+ENGINES = {
+    "default": {},
+    "flagship": dict(synthesis_engine="scanless", spectrum_method="dft",
+                     dft_dtype="int8", fused_kernel=True,
+                     fused_generation=True, sine_order=7),
+}
+
+
 def _base_cfg(args, **over):
     from .es import ESConfig
 
@@ -73,6 +83,7 @@ def _base_cfg(args, **over):
         fused_kernel=args.fused,
         pop_block=1024,  # tuned bench value (CLAUDE.md perf notes)
     )
+    kw.update(ENGINES[getattr(args, "engine", "default")])
     kw.update(over)
     return ESConfig(**kw)
 
@@ -253,6 +264,9 @@ def main(argv=None):
     ap.add_argument("--log2", type=int, default=10)
     ap.add_argument("--gens", type=int, default=50)
     ap.add_argument("--fused", action="store_true", default=False)
+    ap.add_argument("--engine", default="default", choices=list(ENGINES),
+                    help="engine preset: 'flagship' = the bench.py config "
+                         "(folded int8 + fused generation + order-7 sine)")
     ap.add_argument("--csv", default=None, help="CSV output path")
     args = ap.parse_args(argv)
 

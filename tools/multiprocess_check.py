@@ -1,0 +1,110 @@
+"""True multi-PROCESS validation of the sharded matcher (CPU, Gloo).
+
+The test suite runs the sharded path on 8 virtual devices inside ONE
+process; this check exercises the real multihost structure instead:
+N separate processes, `jax.distributed.initialize` (the path
+`parallel.initialize_multihost` / the CLI use on pods), a global mesh
+spanning the processes' devices, and evolve_sharded's top-mu merge
+collectives crossing PROCESS boundaries over XLA's Gloo CPU transport —
+the single-machine analog of DCN between hosts (docs/DISTRIBUTED.md).
+
+Parent mode spawns the children and asserts every process computed the
+same (replicated) result:
+
+    python tools/multiprocess_check.py            # 2 procs x 4 devices
+    python tools/multiprocess_check.py --procs 4 --devs 2
+"""
+import argparse
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+PORT = 29517
+
+
+def child(pid: int, nproc: int, ndev: int) -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from pmfm_tpu.parallel import initialize_multihost
+
+    initialize_multihost(f"127.0.0.1:{PORT}", nproc, pid)
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from pmfm_tpu.es import ESConfig, init_state, make_spectrum_ops
+    from pmfm_tpu.parallel import make_mesh
+    from pmfm_tpu.parallel.sharded import evolve_sharded
+
+    ndev_global = jax.device_count()
+    assert ndev_global == nproc * ndev, (ndev_global, nproc, ndev)
+    mesh = make_mesh()  # all global devices on the pop axis
+    cfg = ESConfig(
+        num_parents=4, num_offspring=4 * ndev_global - 4, num_dimensions=6,
+        topology="fm3_series", audio_length_log2=6,
+        synthesis_engine="scanless",
+    )
+    so = make_spectrum_ops(cfg)
+    # identical-on-every-process inputs, explicitly replicated on the mesh
+    rep = NamedSharding(mesh, PartitionSpec())
+    state = jax.device_put(init_state(jax.random.PRNGKey(0), cfg), rep)
+    tspec = jax.device_put(jnp.ones((so.num_bins,), jnp.float32), rep)
+
+    @jax.jit
+    def run(s, t):
+        final, _ = evolve_sharded(s, t, 3, so, cfg, mesh)
+        return final.best_fitness, final.parent_fitness
+
+    bf, pf = jax.block_until_ready(run(state, tspec))
+    print(f"MPCHK {pid} best={float(bf):.9e} gen_ok=1 "
+          f"p0={float(pf.addressable_shards[0].data.reshape(-1)[0]):.9e}",
+          flush=True)
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--procs", type=int, default=2)
+    ap.add_argument("--devs", type=int, default=4, help="virtual devices per process")
+    ap.add_argument("--child", type=int, default=None)
+    args = ap.parse_args()
+    if args.child is not None:
+        return child(args.child, args.procs, args.devs)
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={args.devs}"
+    ).strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--procs",
+             str(args.procs), "--devs", str(args.devs), "--child", str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(args.procs)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    lines = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            print(out)
+            print(f"child {i} FAILED rc={p.returncode}")
+            return 1
+        lines += [ln for ln in out.splitlines() if ln.startswith("MPCHK")]
+    print("\n".join(lines))
+    bests = {ln.split("best=")[1].split()[0] for ln in lines}
+    assert len(lines) == args.procs, lines
+    assert len(bests) == 1, f"processes disagree: {bests}"
+    print(f"OK: {args.procs} processes x {args.devs} devices, "
+          f"replicated best fitness identical across processes ({bests.pop()})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
