@@ -150,15 +150,24 @@ def sharded_generation_step(
 
     def step(state: ESState) -> ESState:
         ax = jax.lax.axis_index(POP_AXIS)
-        key, k_next = jax.random.split(state.key)
-        k_local = jax.random.fold_in(key, ax)
-        k_rec, k_mut = jax.random.split(k_local)
+        k_next = state.key
 
         if use_fused:
             from ..es.pipeline import fused_generation_kwargs
             from ..kernels.generation import fused_generation
 
-            seed = jax.random.randint(k_rec, (), 0, 2**31 - 1)
+            # generation- and shard-indexed kernel seed (the single-chip
+            # pipeline's scheme plus a shard term) — replaces the previous
+            # per-generation split+fold_in+randint threefry chain; the key
+            # itself only advances for restarts
+            seed = (
+                (
+                    jax.lax.bitcast_convert_type(state.key[0], jnp.int32)
+                    & jnp.int32(0x7FFFFFFF)
+                )
+                + state.generation * jnp.int32(-1640531527)  # 0x9E3779B9
+                + ax * jnp.int32(-1028477387)  # 0xC2B2AE35
+            )
             fitness, values, steps = fused_generation(
                 seed,
                 state.parent_values,
@@ -172,6 +181,8 @@ def sharded_generation_step(
                 ),
             )
         else:
+            key, k_next = jax.random.split(state.key)
+            k_rec, k_mut = jax.random.split(jax.random.fold_in(key, ax))
             values, steps = recombine(
                 k_rec, state.parent_values, state.parent_steps, lcfg
             )
