@@ -45,6 +45,40 @@ def make_spectrum_ops(cfg: ESConfig) -> spectral.SpectrumOps:
     )
 
 
+def kernel_seed(key: jax.Array, generation: jax.Array, shard=None) -> jax.Array:
+    """Per-generation (and per-shard) seed for the fused kernels' in-kernel
+    PRNG — one definition shared by the single-chip and sharded paths.
+
+    Derivation: base word of the run's key + an integer HASH of the
+    generation index (+ an odd-stride shard term). The hash (murmur-style
+    multiply/xor-shift/multiply) is essential: the kernel reseeds each
+    population block as ``seed + program_id * 0x1E3779B9``
+    (kernels/generation.py), so any LINEAR generation stride g*C aliases
+    the block stride whenever C ≡ 0x1E3779B9 modulo small factors — e.g.
+    the golden-ratio constant 0x9E3779B9 differs from it by exactly 2^31,
+    which made stream(gen g, block i) depend only on g+i and g's parity
+    (~94% of per-block streams were replays). Hashing g removes all linear
+    structure; residual collisions are birthday-scale (~32k slots in 2^31).
+
+    Cheaper than the previous per-generation split+randint threefry chain
+    (~2% of the steady-state generation at the bench config); the state key
+    itself is not consumed here. Works with both raw ``(2,) uint32`` keys
+    and new-style typed keys.
+    """
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        key = jax.random.key_data(key)
+    base = (
+        jax.lax.bitcast_convert_type(key.reshape(-1)[0], jnp.int32)
+        & jnp.int32(0x7FFFFFFF)
+    )
+    g = generation.astype(jnp.int32) * jnp.int32(-862048943)  # 0xCC9E2D51
+    g = g ^ jax.lax.shift_right_logical(g, 15)
+    g = g * jnp.int32(0x27D4EB2F)
+    if shard is not None:
+        g = g + shard.astype(jnp.int32) * jnp.int32(-1028477387)  # 0xC2B2AE35
+    return base + g
+
+
 def fused_generation_kwargs(cfg: ESConfig, spectrum_ops, *, pop=None, interpret=False) -> dict:
     """The static/operand kwargs for ``kernels.generation.fused_generation``,
     built from one (cfg, spectrum_ops) pair. The single source shared by the
@@ -97,19 +131,14 @@ def generation_step(
     ):
         from ..kernels.generation import fused_generation
 
-        # Per-generation kernel seed = base word from the run's key mixed
-        # with the generation index (golden-ratio odd constant) — the same
-        # scheme the whole-run kernel uses for its absolute-index seeding
-        # (kernels/evolve.py). Cheaper than the previous per-generation
-        # split+randint (two threefry ops inside the scan body: measured
-        # ~2% of the 0.59 ms/gen steady state); the key itself only
-        # advances for restarts. Distribution quality on hardware is
-        # re-validated by tools/tpu_gen_check.py.
+        # Generation-indexed kernel seed (see kernel_seed — hashed, NOT a
+        # linear stride, which would alias the kernel's per-block stride).
+        # The state key advances only in the restart branch below
+        # (unconditionally per generation when restart_patience > 0, never
+        # otherwise). Distribution quality on hardware is re-validated by
+        # tools/tpu_gen_check.py.
         key = state.key
-        seed = (
-            jax.lax.bitcast_convert_type(key[0], jnp.int32)
-            & jnp.int32(0x7FFFFFFF)
-        ) + state.generation * jnp.int32(-1640531527)  # 0x9E3779B9
+        seed = kernel_seed(state.key, state.generation)
         fitness, values, steps = fused_generation(
             seed,
             state.parent_values,

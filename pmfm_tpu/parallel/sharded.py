@@ -153,21 +153,16 @@ def sharded_generation_step(
         k_next = state.key
 
         if use_fused:
-            from ..es.pipeline import fused_generation_kwargs
+            from ..es.pipeline import fused_generation_kwargs, kernel_seed
             from ..kernels.generation import fused_generation
 
-            # generation- and shard-indexed kernel seed (the single-chip
-            # pipeline's scheme plus a shard term) — replaces the previous
-            # per-generation split+fold_in+randint threefry chain; the key
-            # itself only advances for restarts
-            seed = (
-                (
-                    jax.lax.bitcast_convert_type(state.key[0], jnp.int32)
-                    & jnp.int32(0x7FFFFFFF)
-                )
-                + state.generation * jnp.int32(-1640531527)  # 0x9E3779B9
-                + ax * jnp.int32(-1028477387)  # 0xC2B2AE35
-            )
+            # generation- and shard-indexed kernel seed — ONE shared
+            # definition with the single-chip path (pipeline.kernel_seed:
+            # hashed generation index; a linear stride aliases the kernel's
+            # per-block stride). Replaces the previous per-generation
+            # split+fold_in+randint threefry chain (~6% of the steady
+            # state); the key advances only in the restart branch.
+            seed = kernel_seed(state.key, state.generation, shard=ax)
             fitness, values, steps = fused_generation(
                 seed,
                 state.parent_values,

@@ -2,6 +2,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from pmfm_tpu import ops
@@ -96,3 +97,38 @@ class TestConvergenceCheckTool:
         out = capsys.readouterr().out
         assert "f32" in out and "int8+sin7" in out
         assert "nan" not in out.lower()
+
+
+class TestKernelSeed:
+    def test_no_block_stream_aliasing(self):
+        """Regression: a LINEAR generation stride aliases the kernels'
+        per-block stride (seed + program_id * 0x1E3779B9) — e.g. the
+        golden-ratio constant differs from it by exactly 2^31, which made
+        stream(gen, block) depend only on gen+block and gen's parity (~94%
+        of per-block PRNG streams were replays). kernel_seed hashes the
+        generation index, so every (generation, block) stream must be
+        unique over a realistic window."""
+        import numpy as np
+
+        from pmfm_tpu.es.pipeline import kernel_seed
+
+        key = jax.random.PRNGKey(7)
+        gens, blocks = 256, 32
+        seeds = np.asarray(
+            [int(kernel_seed(key, jnp.int32(g))) for g in range(gens)],
+            dtype=np.int64,
+        )
+        streams = (seeds[:, None] + np.arange(blocks)[None, :] * 0x1E3779B9)
+        streams = (streams & 0xFFFFFFFF).astype(np.uint32)  # int32 wrap
+        assert len(np.unique(streams)) == gens * blocks
+
+    def test_shard_term_and_typed_keys(self):
+        from pmfm_tpu.es.pipeline import kernel_seed
+
+        k_raw = jax.random.PRNGKey(3)
+        k_typed = jax.random.key(3)
+        g = jnp.int32(5)
+        assert int(kernel_seed(k_raw, g)) == int(kernel_seed(k_typed, g))
+        s0 = int(kernel_seed(k_raw, g, shard=jnp.int32(0)))
+        s1 = int(kernel_seed(k_raw, g, shard=jnp.int32(1)))
+        assert s0 == int(kernel_seed(k_raw, g)) and s0 != s1

@@ -126,8 +126,8 @@ def main() -> int:
           f"({frames} frames of input_audio/input.wav)", flush=True)
 
     # -- config 3: the bench.py headline (documented there) ----------------
-    print("config-3: bench.py headline — run `python bench.py` "
-          "(55.1M evals/s, 2026-08-19)", flush=True)
+    print("config-3: the bench.py headline config — run `python bench.py` "
+          "for the current number", flush=True)
     bm.close()
     print("wrote benchmarks/baseline_configs.csv")
     return 0

@@ -16,21 +16,26 @@ same (replicated) result:
 """
 import argparse
 import os
+import socket
 import subprocess
 import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-PORT = 29517
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
 
 
-def child(pid: int, nproc: int, ndev: int) -> int:
+def child(pid: int, nproc: int, ndev: int, port: int) -> int:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     from pmfm_tpu.parallel import initialize_multihost
 
-    initialize_multihost(f"127.0.0.1:{PORT}", nproc, pid)
+    initialize_multihost(f"127.0.0.1:{port}", nproc, pid)
 
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec
@@ -70,10 +75,12 @@ def main() -> int:
     ap.add_argument("--procs", type=int, default=2)
     ap.add_argument("--devs", type=int, default=4, help="virtual devices per process")
     ap.add_argument("--child", type=int, default=None)
+    ap.add_argument("--port", type=int, default=None)
     args = ap.parse_args()
     if args.child is not None:
-        return child(args.child, args.procs, args.devs)
+        return child(args.child, args.procs, args.devs, args.port)
 
+    port = _free_port()  # per-invocation: concurrent runs don't collide
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "")
@@ -83,13 +90,19 @@ def main() -> int:
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--procs",
-             str(args.procs), "--devs", str(args.devs), "--child", str(i)],
+             str(args.procs), "--devs", str(args.devs), "--child", str(i),
+             "--port", str(port)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
         for i in range(args.procs)
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=480)[0] for p in procs]
+    finally:
+        for p in procs:  # no orphans on timeout/failure (they would hold
+            if p.poll() is None:  # the coordinator port and burn CPU)
+                p.kill()
     lines = []
     for i, (p, out) in enumerate(zip(procs, outs)):
         if p.returncode != 0:
