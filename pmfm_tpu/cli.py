@@ -130,6 +130,22 @@ def main(argv: list[str] | None = None) -> int:
         else run_cfg.num_generations
     )
 
+    # --- benchmarking setup (reference CSV naming) ------------------------
+    bm = None
+    if run_cfg.is_benchmarking:
+        backend = "tpu"
+        if jax.process_count() > 1:
+            # per-host benchmark logs in multi-host runs (BASELINE config 4)
+            backend = f"tpu_host{jax.process_index()}"
+        csv_path = (
+            Benchmarker.log_filename(
+                backend, cfg.population_size, num_generations, cfg.n_samples
+            )
+            if run_cfg.is_log
+            else None
+        )
+        bm = Benchmarker(csv_path=csv_path, quiet=args.quiet)
+
     # --- batched multi-target mode ---------------------------------------
     if args.batch:
         from .es import match_many
@@ -142,8 +158,12 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         targets = np.stack([a[:n] for a, _ in loaded])
         start = time.perf_counter()
+        if bm is not None:
+            bm.start_timer("Total Audio Analysis Time")
         results = match_many(targets, cfg, key=args.seed,
                              num_generations=num_generations)
+        if bm is not None:
+            bm.pause_timer("Total Audio Analysis Time")
         elapsed = time.perf_counter() - start
         seen_paths: dict[str, int] = {}
         for i, (path, r) in enumerate(zip(args.batch, results)):
@@ -162,6 +182,8 @@ def main(argv: list[str] | None = None) -> int:
         if not args.quiet:
             print(f"\nTotal time to complete: {elapsed:.3f}s "
                   f"({len(results)} targets, concurrent)")
+        if bm is not None:
+            _flush_benchmark(bm, cfg)
         return 0
 
     # --- target creation (main.cpp:204-227) ------------------------------
@@ -216,22 +238,6 @@ def main(argv: list[str] | None = None) -> int:
                   f"generations={num_generations})")
         return 0
 
-    # --- benchmarking setup (reference CSV naming) ------------------------
-    bm = None
-    if run_cfg.is_benchmarking:
-        backend = "tpu"
-        if jax.process_count() > 1:
-            # per-host benchmark logs in multi-host runs (BASELINE config 4)
-            backend = f"tpu_host{jax.process_index()}"
-        csv_path = (
-            Benchmarker.log_filename(
-                backend, cfg.population_size, num_generations, cfg.n_samples
-            )
-            if run_cfg.is_log
-            else None
-        )
-        bm = Benchmarker(csv_path=csv_path, quiet=args.quiet)
-
     # --- mesh (population sharding across devices) ------------------------
     mesh = None
     mesh_shape = (args.mesh,) if args.mesh else run_cfg.mesh_shape
@@ -250,6 +256,11 @@ def main(argv: list[str] | None = None) -> int:
 
     debug_ctx = debug_nans(True) if run_cfg.is_debug else contextlib.nullcontext()
     start = time.perf_counter()
+    # chunks mode feeds the Benchmarker internally (per-chunk granularity);
+    # every other mode is one device program — time it as one total here so
+    # isBenchmarking produces a CSV in ALL modes, not only `chunks`
+    if bm is not None and args.mode != "chunks":
+        bm.start_timer("Total Audio Analysis Time")
     with maybe_trace(args.profile_dir), debug_ctx:
         if args.aot:
             from .es.pipeline import ChunkResult, MatchResult
@@ -308,6 +319,8 @@ def main(argv: list[str] | None = None) -> int:
                 mesh=mesh,
             )
     elapsed = time.perf_counter() - start
+    if bm is not None and args.mode != "chunks":
+        bm.pause_timer("Total Audio Analysis Time")
     if not args.quiet:
         print(f"Total time to complete: {elapsed:.3f}s")
         print(f"Total time to complete: {elapsed * 1e3:.3f}ms\n")
@@ -343,11 +356,26 @@ def main(argv: list[str] | None = None) -> int:
             print(f"wrote {run_cfg.output_audio_path}")
 
     if bm is not None:
-        if bm.has_timer("chunk"):  # only the chunk modes feed it
-            bm.elapsed_timer("chunk")
-            bm.elapsed_timer("Total Audio Analysis Time")
-        bm.close()
+        _flush_benchmark(bm, cfg)
     return 0
+
+
+def _flush_benchmark(bm, cfg) -> None:
+    """End-of-run CSV flush in the reference's order
+    (Evolutionary_Strategy_OpenCL.hpp:601-609): one row per pipeline kernel
+    (reference names — see utils/stage_bench.py for the TPU stage mapping),
+    then the chunk row (TPU addition) and "Total Audio Analysis Time"."""
+    from .utils.stage_bench import record_stage_rows
+
+    try:
+        record_stage_rows(bm, cfg)
+    except Exception as e:  # noqa: BLE001 — benchmarking must not kill a run
+        print(f"warning: per-stage benchmark rows skipped: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+    if bm.has_timer("chunk"):
+        bm.elapsed_timer("chunk")
+    bm.elapsed_timer("Total Audio Analysis Time")
+    bm.close()
 
 
 def run() -> int:

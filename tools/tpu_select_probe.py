@@ -1,7 +1,20 @@
-"""Probe: where does the ~1.12ms/gen at bench config go?
+"""Decompose the selection cost (XLA top_k + survivor gathers) on hardware.
 
-Times (a) the fused generation kernel alone, (b) kernel + top-k select,
-(c) kernel variants with time_block 128/256/512 — on the real chip.
+Round-1 finding (VERDICT weak #2): mu=pop/128 scaling drops pop 2^17 from
+57.8M to 37.2M evals/s — ~1.26 ms/gen of "gather+merge" at mu=1024. This
+probe attributes that to top_k vs gather and measures candidate fixes:
+
+  full       — select() as shipped: top_k(pop->mu) + values[idx] + steps[idx]
+  topk       — top_k only (consume fitness + indices, no gathers)
+  gather     — two (mu, D) row gathers from (pop, D) with computed indices
+  two_stage  — reshape (R, C); per-row top_k(mu); flatten; top_k(R*mu -> mu);
+               single final gather from the original arrays (EXACT: any row
+               holds at most mu global winners, and we keep mu per row)
+  neg_only   — top_k(-f) without the index consumption (lower bound)
+
+Each variant runs inside one lax.scan of ITERS bodies with a data dependency
+through the carry (no hoisting); timing is min-of-repeats with a true
+np.asarray sync (axon block_until_ready returns early on scalars).
 """
 import sys
 import time
@@ -10,71 +23,81 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_tpu_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-from pmfm_tpu.es import ESConfig, make_spectrum_ops
-from pmfm_tpu.es.strategy import select
-from pmfm_tpu.kernels.generation import fused_generation
-
-POP, MU, N, D = 1 << 15, 256, 1024, 6
-ITERS = 50
-
-cfg = ESConfig(
-    num_parents=MU, num_offspring=POP - MU, num_dimensions=6,
-    topology="fm3_series", audio_length_log2=10, spectrum_method="dft",
-    dft_dtype="bfloat16", pop_block=1024,
-)
-so = make_spectrum_ops(cfg)
-tspec = jnp.ones((so.num_bins,), jnp.float32)
-key = jax.random.PRNGKey(0)
-pv = jax.random.uniform(key, (MU, D))
-ps = jnp.full((MU, D), 0.1)
+D = 6
+ITERS = 100
+REPEATS = 3
 
 
-def timed(fn, *args):
+def build(pop, mu, variant):
     @jax.jit
-    def run(seed0, *a):
-        def body(i, carry):
-            seed, acc = carry
-            out = fn(seed + i, *a)
-            return seed, acc + out * 1e-30
-        _, acc = jax.lax.fori_loop(
-            0, ITERS, body, (seed0, jnp.float32(0.0)))
-        return acc
+    def run(values, steps, fitness):
+        def body(carry, _):
+            v, s, f = carry
+            if variant == "full":
+                nf, idx = jax.lax.top_k(-f, mu)
+                pv, ps, pf = v[idx], s[idx], -nf
+                dep = pf[0] + pv[0, 0] + ps[0, 0]
+            elif variant == "topk":
+                nf, idx = jax.lax.top_k(-f, mu)
+                dep = -nf[0] + idx[0].astype(jnp.float32) * 1e-20
+            elif variant == "neg_only":
+                nf, _ = jax.lax.top_k(-f, mu)
+                dep = -nf[0]
+            elif variant == "gather":
+                base = (f[0] * 0.0).astype(jnp.int32)  # data-dep, always 0
+                idx = (jnp.arange(mu, dtype=jnp.int32) * 97 + base) % pop
+                pv, ps = v[idx], s[idx]
+                dep = pv[0, 0] + ps[0, 0]
+            elif variant == "two_stage":
+                c = 4096 if pop > 4096 else pop
+                r = pop // c
+                f2 = f.reshape(r, c)
+                nf1, i1 = jax.lax.top_k(-f2, min(mu, c))  # (r, mu)
+                gidx = (i1 + (jnp.arange(r, dtype=jnp.int32) * c)[:, None]).reshape(-1)
+                nf2, i2 = jax.lax.top_k(nf1.reshape(-1), mu)
+                idx = gidx[i2]
+                pv, ps, pf = v[idx], s[idx], -nf2
+                dep = pf[0] + pv[0, 0] + ps[0, 0]
+            else:
+                raise ValueError(variant)
+            f = f * jnp.float32(1.0000001) + dep * jnp.float32(1e-30)
+            return (v, s, f), None
 
-    jax.block_until_ready(run(jnp.int32(1), *args))
-    t0 = time.time()
-    jax.block_until_ready(run(jnp.int32(1), *args))
-    return (time.time() - t0) / ITERS * 1e3
+        (v, s, f), _ = jax.lax.scan(body, (values, steps, fitness), None, length=ITERS)
+        return f[0]
+
+    return run
 
 
-def kern_only(seed, pv, ps, tb):
-    f, v, s = fused_generation(
-        seed, pv, ps, so.dft_cos, so.dft_sin, tspec,
-        pop=POP, param_mins=cfg.param_mins, param_maxs=cfg.param_maxs,
-        topology="fm3_series", n=N, pop_block=1024, time_block=tb,
-    )
-    return jnp.sum(f) + jnp.sum(v) * 0 + jnp.sum(s) * 0
-
-
-def kern_select(seed, pv, ps, tb):
-    f, v, s = fused_generation(
-        seed, pv, ps, so.dft_cos, so.dft_sin, tspec,
-        pop=POP, param_mins=cfg.param_mins, param_maxs=cfg.param_maxs,
-        topology="fm3_series", n=N, pop_block=1024, time_block=tb,
-    )
-    nv, ns, nf = select(v, s, f, MU)
-    return jnp.sum(nv) + jnp.sum(ns) * 0 + jnp.sum(nf)
-
-
-for tb in (128, 256, 512):
-    try:
-        t = timed(lambda seed, a, b, _tb=tb: kern_only(seed, a, b, _tb), pv, ps)
-        print(f"kernel only  tb={_tb if (_tb:=tb) else tb:4d}  {t:7.3f} ms")
-    except Exception as e:
-        print(f"kernel only  tb={tb:4d}  FAILED {type(e).__name__}: {e}")
-for tb in (128,):
-    t = timed(lambda seed, a, b, _tb=tb: kern_select(seed, a, b, _tb), pv, ps)
-    print(f"kernel+select tb={tb:4d}  {t:7.3f} ms")
+key = jax.random.PRNGKey(0)
+print(f"backend={jax.default_backend()}", flush=True)
+cases = [(p, m, v)
+         for p in (1 << 17, 1 << 15)
+         for m in (1024, 256)
+         for v in ("full", "topk", "neg_only", "gather", "two_stage")]
+if len(sys.argv) > 1:  # optional slice for incremental runs
+    cases = cases[int(sys.argv[1]):int(sys.argv[2])]
+data = {}
+for pop, mu, variant in cases:
+    if pop not in data:
+        kv, ks, kf = jax.random.split(jax.random.fold_in(key, pop), 3)
+        data[pop] = (
+            jax.random.uniform(kv, (pop, D), jnp.float32),
+            jax.random.uniform(ks, (pop, D), jnp.float32),
+            jax.random.uniform(kf, (pop,), jnp.float32) * 1e6,
+        )
+    values, steps, fitness = data[pop]
+    run = build(pop, mu, variant)
+    print(f"compiling pop=2^{pop.bit_length()-1} mu={mu} {variant} ...", flush=True)
+    float(np.asarray(run(values, steps, fitness)))  # compile+sync
+    best = 1e9
+    for _ in range(REPEATS):
+        t0 = time.time()
+        float(np.asarray(run(values, steps, fitness)))
+        best = min(best, (time.time() - t0) / ITERS * 1e3)
+    print(f"pop=2^{pop.bit_length()-1} mu={mu:5d} {variant:10s} {best:7.4f} ms/iter", flush=True)
