@@ -5,8 +5,28 @@ import os
 import numpy as np
 import pytest
 
-from pmfm_tpu.io import parse_config, read_wav, write_wav
+from pmfm_tpu.io import (
+    parse_config, read_aiff, read_audio, read_wav, resample, write_wav,
+)
 from pmfm_tpu.utils import Benchmarker, CSVLogger, CSV_FIELDS
+
+
+def _make_aiff_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal 16-bit big-endian mono AIFF (COMM + SSND), for read tests."""
+    import struct
+
+    q = np.clip(np.rint(audio * 32767.0), -32768, 32767).astype(">i2")
+    payload = q.tobytes()
+    # 80-bit extended float sample rate
+    exp = sample_rate.bit_length() - 1
+    mant = sample_rate << (63 - exp)
+    ext = struct.pack(">HQ", 16383 + exp, mant)
+    comm = struct.pack(">hIh", 1, len(q), 16) + ext
+    ssnd = struct.pack(">II", 0, 0) + payload
+    body = (b"AIFF"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
 
 
 class TestWav:
@@ -42,6 +62,74 @@ class TestWav:
         back, sr = read_wav(p)
         assert sr == 8000
         np.testing.assert_allclose(back * 32768.0, [200.0, -300.0])
+
+    def test_aiff_read(self, tmp_path):
+        rng = np.random.default_rng(1)
+        audio = rng.uniform(-0.9, 0.9, 500).astype(np.float32)
+        p = tmp_path / "t.aiff"
+        p.write_bytes(_make_aiff_bytes(audio, 44100))
+        back, sr = read_aiff(p)
+        assert sr == 44100
+        np.testing.assert_allclose(back, audio, atol=1.5 / 32768)
+        # container dispatch reads it too, extension-agnostic
+        p2 = tmp_path / "renamed.bin"
+        p2.write_bytes(_make_aiff_bytes(audio, 22050))
+        back2, sr2 = read_audio(p2)
+        assert sr2 == 22050 and len(back2) == 500
+
+    def test_read_audio_unknown_container_raises(self, tmp_path):
+        p = tmp_path / "x.ogg"
+        p.write_bytes(b"OggS" + b"\x00" * 64)
+        with pytest.raises(ValueError, match="WAV and AIFF"):
+            read_audio(p)
+
+    def test_resample_bandlimited_exact(self):
+        """A window-periodic tone resamples near-exactly in both directions
+        (the FFT method is exact for bandlimited periodic content)."""
+        sr1, n = 44100, 4096
+        f = 100 * sr1 / n  # periodic in the window
+        t1 = np.arange(n) / sr1
+        x1 = np.sin(2 * np.pi * f * t1).astype(np.float32)
+        for sr2 in (22050, 48000):
+            y = resample(x1, sr1, sr2)
+            n2 = int(round(n * sr2 / sr1))
+            assert len(y) == n2
+            t2 = np.arange(n2) / sr2
+            ref = np.sin(2 * np.pi * f * t2)
+            # interior: windowed-sinc accuracy; edges have truncated support
+            np.testing.assert_allclose(y[64:-64], ref[64:-64], atol=1e-3)
+        # round trip through 48k is lossless for sub-22.05k content
+        back = resample(resample(x1, sr1, 48000), 48000, sr1)
+        np.testing.assert_allclose(back[64:-64], x1[64 : len(back) - 64],
+                                    atol=2e-3)
+
+    def test_mismatched_rate_target_matches_equivalently(self):
+        """A 48 kHz copy of a 44.1 kHz target yields the same spectrum after
+        the driver's resample (VERDICT r1 missing #3 'done' criterion)."""
+        import jax.numpy as jnp
+
+        from pmfm_tpu.es import ESConfig, make_spectrum_ops
+        from pmfm_tpu.ops import synthesize_single
+        from pmfm_tpu.ops.spectral import target_spectrum
+        from pmfm_tpu.ops.synthesis import scale_params
+
+        cfg = ESConfig(num_parents=8, num_offspring=8, num_dimensions=6,
+                       topology="fm3_series", audio_length_log2=11)
+        genes = jnp.asarray([0.874, 0.25, 0.857, 0.1875, 0.892, 0.125])
+        scaled = scale_params(genes[None], jnp.asarray(cfg.param_mins),
+                              jnp.asarray(cfg.param_maxs))[0]
+        # synthesise 2 chunks so the round-trip floor loss (one sample) and
+        # the sinc edge region stay outside the scored first chunk
+        audio = np.asarray(
+            synthesize_single(scaled, 2 * cfg.n_samples, cfg.topology)
+        )
+        as48 = resample(audio, 44100, 48000)  # "the file was 48k"
+        back = resample(as48, 48000, 44100)[: cfg.n_samples]
+        so = make_spectrum_ops(cfg)
+        s_orig = np.asarray(target_spectrum(jnp.asarray(audio[: cfg.n_samples]), so))
+        s_back = np.asarray(target_spectrum(jnp.asarray(back), so))
+        rel = np.linalg.norm(s_back - s_orig) / np.linalg.norm(s_orig)
+        assert rel < 1e-3  # the BASELINE.md spectral parity bound
 
     def test_bad_file_raises(self, tmp_path):
         p = tmp_path / "bad.wav"
