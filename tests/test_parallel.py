@@ -267,3 +267,38 @@ class TestBatchedSharded:
         fits = [r.chunks[0].best_fitness for r in results]
         assert all(np.isfinite(f) for f in fits)
         assert len({round(f, 6) for f in fits}) == 3
+
+
+class TestCollectiveBytes:
+    """MEASURED per-generation collective payload (from the compiled SPMD
+    executable's HLO, tools/collective_bytes.py) — verifies the O(mu) design
+    claim: selection is the only communicating stage and its bytes are
+    independent of population size (docs/DISTRIBUTED.md)."""
+
+    def test_payload_is_o_mu_not_o_pop(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+        from collective_bytes import measure
+
+        small = measure(1 << 12, mu=64)
+        large = measure(1 << 15, mu=64)
+        assert small["total_bytes"] == large["total_bytes"]
+        # exactly the design payload: ndev * mu * (2D+1) f32 all-gathered
+        assert small["all-gather"]["bytes"] == 8 * 64 * 13 * 4
+        # no other collective in the 1-D pop mesh step
+        assert set(small) == {"all-gather", "total_bytes"}
+
+    def test_2d_mesh_adds_only_fitness_psum(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+        from collective_bytes import measure
+
+        st = measure(1 << 12, mu=64, frames=4, mesh_shape=(4, 2))
+        # frame-axis psum of the local-pop fitness partials...
+        assert st["all-reduce"]["bytes"] == (1 << 12) // 4 * 4
+        # ...plus the pop-axis top-mu merge (4 pop shards)
+        assert st["all-gather"]["bytes"] == 4 * 64 * 13 * 4

@@ -13,6 +13,11 @@ same (replicated) result:
 
     python tools/multiprocess_check.py            # 2 procs x 4 devices
     python tools/multiprocess_check.py --procs 4 --devs 2
+    python tools/multiprocess_check.py --procs 4 --devs 2 --mesh2d
+        # 2-D (pop x frame) mesh spanning the processes: population shards
+        # AND STFT-frame shards both cross process boundaries (the psum of
+        # framewise fitness partials rides the same transport as the top-mu
+        # all-gather)
 """
 import argparse
 import os
@@ -29,7 +34,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def child(pid: int, nproc: int, ndev: int, port: int) -> int:
+def child(pid: int, nproc: int, ndev: int, port: int, mesh2d: bool) -> int:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -42,21 +47,33 @@ def child(pid: int, nproc: int, ndev: int, port: int) -> int:
 
     from pmfm_tpu.es import ESConfig, init_state, make_spectrum_ops
     from pmfm_tpu.parallel import make_mesh
+    from pmfm_tpu.parallel.mesh import FRAME_AXIS, POP_AXIS
     from pmfm_tpu.parallel.sharded import evolve_sharded
 
     ndev_global = jax.device_count()
     assert ndev_global == nproc * ndev, (ndev_global, nproc, ndev)
-    mesh = make_mesh()  # all global devices on the pop axis
+    frames = 1
+    if mesh2d:
+        # 2-D (pop x frame) mesh spanning processes: with the default
+        # device order, every frame-axis pair spans two different processes
+        frame_shards = 2
+        mesh = make_mesh(shape=(ndev_global // frame_shards, frame_shards),
+                         axis_names=(POP_AXIS, FRAME_AXIS))
+        frames = frame_shards
+    else:
+        mesh = make_mesh()  # all global devices on the pop axis
+    n_pop_shards = int(mesh.shape[POP_AXIS])
     cfg = ESConfig(
-        num_parents=4, num_offspring=4 * ndev_global - 4, num_dimensions=6,
+        num_parents=4, num_offspring=4 * n_pop_shards - 4, num_dimensions=6,
         topology="fm3_series", audio_length_log2=6,
-        synthesis_engine="scanless",
+        synthesis_engine="scanless", num_frames=frames,
     )
     so = make_spectrum_ops(cfg)
     # identical-on-every-process inputs, explicitly replicated on the mesh
     rep = NamedSharding(mesh, PartitionSpec())
     state = jax.device_put(init_state(jax.random.PRNGKey(0), cfg), rep)
-    tspec = jax.device_put(jnp.ones((so.num_bins,), jnp.float32), rep)
+    tshape = (frames, so.num_bins) if frames > 1 else (so.num_bins,)
+    tspec = jax.device_put(jnp.ones(tshape, jnp.float32), rep)
 
     @jax.jit
     def run(s, t):
@@ -74,11 +91,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--procs", type=int, default=2)
     ap.add_argument("--devs", type=int, default=4, help="virtual devices per process")
+    ap.add_argument("--mesh2d", action="store_true",
+                    help="2-D (pop x frame) mesh spanning the processes")
     ap.add_argument("--child", type=int, default=None)
     ap.add_argument("--port", type=int, default=None)
     args = ap.parse_args()
     if args.child is not None:
-        return child(args.child, args.procs, args.devs, args.port)
+        return child(args.child, args.procs, args.devs, args.port, args.mesh2d)
 
     port = _free_port()  # per-invocation: concurrent runs don't collide
     env = dict(os.environ)
@@ -91,7 +110,8 @@ def main() -> int:
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--procs",
              str(args.procs), "--devs", str(args.devs), "--child", str(i),
-             "--port", str(port)],
+             "--port", str(port)]
+            + (["--mesh2d"] if args.mesh2d else []),
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
@@ -114,7 +134,8 @@ def main() -> int:
     bests = {ln.split("best=")[1].split()[0] for ln in lines}
     assert len(lines) == args.procs, lines
     assert len(bests) == 1, f"processes disagree: {bests}"
-    print(f"OK: {args.procs} processes x {args.devs} devices, "
+    print(f"OK: {args.procs} processes x {args.devs} devices"
+          f"{' (2-D pop x frame mesh)' if args.mesh2d else ''}, "
           f"replicated best fitness identical across processes ({bests.pop()})")
     return 0
 
