@@ -104,16 +104,42 @@ def main():
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     evals_per_sec = POP * GENS / best
-    print(
-        json.dumps(
-            {
-                "metric": "candidate-evaluations/sec/chip (pop 2^15, 1024-pt FFT)",
-                "value": round(evals_per_sec, 1),
-                "unit": "evals/s",
-                "vs_baseline": round(evals_per_sec / BASELINE_2080TI_EVALS_PER_SEC, 3),
-            }
-        )
+    out = {
+        "metric": "candidate-evaluations/sec/chip (pop 2^15, 1024-pt FFT)",
+        "value": round(evals_per_sec, 1),
+        "unit": "evals/s",
+        "vs_baseline": round(evals_per_sec / BASELINE_2080TI_EVALS_PER_SEC, 3),
+    }
+    gtc = _generations_to_converge()
+    if gtc is not None:
+        # second half of BASELINE.json's metric, from the committed
+        # hardware artifact (tools/convergence_check.py --json
+        # benchmarks/quality_gates.json): median generations for THIS
+        # bench engine to reach the fixed f32-rescored fitness threshold
+        # on the known-params target.
+        out["generations_to_converge"] = gtc
+    print(json.dumps(out))
+
+
+def _generations_to_converge():
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "quality_gates.json",
     )
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        gtc = data["results"]["int8+sin7"]["generations_to_converge"]
+        return {
+            "median_gens": gtc["median_gens"],
+            "threshold_f32_rescored": gtc["threshold_f32_rescored"],
+            "frac_converged": gtc["frac_converged"],
+            "seeds": data["meta"]["seeds"],
+        }
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":

@@ -28,7 +28,9 @@ import numpy as np
 
 from ..ops import spectral, synthesis
 from .config import ESConfig
-from .strategy import ESState, evaluate, init_state, mutate, recombine, select
+from .strategy import (
+    ESState, evaluate, init_state, mutate, recombine, select, select_t,
+)
 
 
 def make_spectrum_ops(cfg: ESConfig) -> spectral.SpectrumOps:
@@ -139,7 +141,7 @@ def generation_step(
         # tools/tpu_gen_check.py.
         key = state.key
         seed = kernel_seed(state.key, state.generation)
-        fitness, values, steps = fused_generation(
+        fitness, values_t, steps_t = fused_generation(
             seed,
             state.parent_values,
             state.parent_steps,
@@ -150,12 +152,17 @@ def generation_step(
                 cfg, spectrum_ops, interpret=jax.default_backend() == "cpu"
             ),
         )
+        # selection on the kernel's transposed padded layout (no full-pop
+        # transpose, strategy.select_t)
+        pv, ps, pf = select_t(
+            values_t, steps_t, fitness, cfg.num_parents, cfg.num_dimensions
+        )
     else:
         key, k_rec, k_mut = jax.random.split(state.key, 3)
         values, steps = recombine(k_rec, state.parent_values, state.parent_steps, cfg)
         values, steps = mutate(k_mut, values, steps, cfg)
         fitness = evaluate(values, target_spectrum, spectrum_ops, cfg)
-    pv, ps, pf = select(values, steps, fitness, cfg.num_parents)
+        pv, ps, pf = select(values, steps, fitness, cfg.num_parents)
     improved = pf[0] < state.best_fitness
     stall = jnp.where(improved, 0, state.stall + 1).astype(jnp.int32)
     if cfg.restart_patience > 0:

@@ -324,6 +324,17 @@ def evaluate(
     if cfg.num_frames > 1:
         # multi-frame STFT fitness: target_spectrum is (frames, bins)
         return spectral.stft_fitness(audio, target_spectrum, spectrum_ops)
+    if (
+        cfg.spectrum_method == "dft"
+        and spectrum_ops.dft_packed is not None
+        and cfg.dft_dtype in ("bfloat16", "int8")
+    ):
+        # large-frame engine: the fused kernel is VMEM-gated off here, but
+        # the FOLD + int8 quantisation still apply in pure XLA, where the
+        # dominant (2K, N/2) matmul is tiled natively with no VMEM budget
+        # (spectral.magnitude_spectrum_folded; VERDICT r1 missing #2)
+        spectra = spectral.magnitude_spectrum_folded(audio, spectrum_ops)
+        return spectral.spectral_fitness(spectra, target_spectrum)
     return spectral.evaluate_fitness(audio, target_spectrum, spectrum_ops)
 
 
@@ -335,3 +346,23 @@ def select(
     are needed. Returns parents sorted best-first (rank order preserved)."""
     neg_fit, idx = jax.lax.top_k(-fitness, mu)
     return values[idx], steps[idx], -neg_fit
+
+
+def select_t(
+    values_t: jax.Array,  # (VR, P) — transposed, row-padded (kernel layout)
+    steps_t: jax.Array,
+    fitness: jax.Array,  # (P,)
+    mu: int,
+    d: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """``select`` on the fused-generation kernel's native TRANSPOSED padded
+    offspring layout (kernels/generation.py): slice the padding rows,
+    transpose, row-gather the survivors.
+
+    Hardware note (tools/tpu_gather_probe.py): gathering mu COLUMNS from
+    the (VR, P) layout ("no transpose needed") costs ~0.5 ms at mu=256 and
+    ~1.8 ms at mu=1024 — lane-axis gathers serialize on TPU. The full-pop
+    transpose + row gather XLA emits for this formulation costs ~0.03 ms.
+    """
+    neg_fit, idx = jax.lax.top_k(-fitness, mu)
+    return values_t[:d].T[idx], steps_t[:d].T[idx], -neg_fit

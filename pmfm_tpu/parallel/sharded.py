@@ -30,7 +30,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..es.config import ESConfig
-from ..es.strategy import ESState, _fused_ok, evaluate, mutate, recombine, select
+from ..es.strategy import (
+    ESState, _fused_ok, evaluate, mutate, recombine, select, select_t,
+)
 from ..ops import spectral, synthesis
 from .mesh import FRAME_AXIS, POP_AXIS
 
@@ -163,7 +165,7 @@ def sharded_generation_step(
             # split+fold_in+randint threefry chain (~6% of the steady
             # state); the key advances only in the restart branch.
             seed = kernel_seed(state.key, state.generation, shard=ax)
-            fitness, values, steps = fused_generation(
+            fitness, values_t, steps_t = fused_generation(
                 seed,
                 state.parent_values,
                 state.parent_steps,
@@ -196,7 +198,11 @@ def sharded_generation_step(
             fitness = evaluate(values, target_spectrum, spectrum_ops, lcfg)
 
         # local truncation, then O(mu) all-gather + replicated merge
-        lv, ls, lf = select(values, steps, fitness, mu)
+        if use_fused:
+            lv, ls, lf = select_t(values_t, steps_t, fitness, mu,
+                                  cfg.num_dimensions)
+        else:
+            lv, ls, lf = select(values, steps, fitness, mu)
         gv = jax.lax.all_gather(lv, POP_AXIS)  # (ndev, mu, D)
         gs = jax.lax.all_gather(ls, POP_AXIS)
         gf = jax.lax.all_gather(lf, POP_AXIS)  # (ndev, mu)

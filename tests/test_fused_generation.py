@@ -32,7 +32,7 @@ CFG = ESConfig(
 
 def _call(cfg, pv, ps, tgt, seed=0):
     so = make_spectrum_ops(cfg)
-    return fused_generation(
+    fit, values_t, steps_t = fused_generation(
         jnp.asarray(seed, jnp.int32), pv, ps, so.dft_cos, so.dft_sin, tgt,
         pop=cfg.population_size, param_mins=cfg.param_mins,
         param_maxs=cfg.param_maxs, topology=cfg.topology, n=cfg.n_samples,
@@ -40,6 +40,11 @@ def _call(cfg, pv, ps, tgt, seed=0):
         beta=cfg.beta, beta_scale=cfg.beta_scale,
         root_two_over_pi=cfg.root_two_over_pi, clamp_values=cfg.clamp_values,
     )
+    # kernel-native layout is transposed + row-padded to the sublane tile
+    d = cfg.num_dimensions
+    assert values_t.shape[0] >= d and values_t.shape[0] % 8 == 0
+    assert (np.asarray(values_t[d:]) == 0).all()  # padding rows are zero
+    return fit, values_t[:d].T, steps_t[:d].T
 
 
 class TestKernelStructure:
@@ -59,6 +64,31 @@ class TestKernelStructure:
         vn = np.asarray(values)
         for d in range(6):
             assert np.isin(vn[:, d], pvn[:, d]).all(), f"dim {d}"
+
+    def test_hierarchical_gather_gene_provenance(self):
+        """mu >= 128 switches recombine to the two-stage hierarchical gather
+        (kernels/generation.py:_recombine_hier); with zero steps every
+        offspring gene must still be an EXACT parent-gene copy (both matmul
+        stages are bit-exact one-hot copies)."""
+        from pmfm_tpu.kernels.generation import use_hier_gather
+
+        mu = 128
+        assert use_hier_gather(mu)
+        cfg = CFG.replace(num_parents=mu, num_offspring=256 - mu, pop_block=64)
+        key = jax.random.PRNGKey(4)
+        pv = jax.random.uniform(key, (mu, 6))
+        ps = jnp.zeros((mu, 6))
+        so = make_spectrum_ops(cfg)
+        tgt = jnp.ones((so.num_bins,), jnp.float32)
+        fit, values, steps = _call(cfg, pv, ps, tgt, seed=11)
+        assert np.isfinite(np.asarray(fit)).all()
+        pvn, vn = np.asarray(pv), np.asarray(values)
+        for d in range(6):
+            assert np.isin(vn[:, d], pvn[:, d]).all(), f"dim {d}"
+        # NOTE the interpreter PRNG draws zero bits (CLAUDE.md), so on CPU
+        # every offspring copies parent 0 — the exactness above is the
+        # structural check; parent-pick uniformity is validated on hardware
+        # (tools/tpu_gen_check.py -> benchmarks/gen_check.json)
 
     def test_fitness_matches_separate_evaluate(self):
         """Fitness reported for the offspring must equal evaluate() re-run on

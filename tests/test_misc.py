@@ -132,3 +132,42 @@ class TestKernelSeed:
         s0 = int(kernel_seed(k_raw, g, shard=jnp.int32(0)))
         s1 = int(kernel_seed(k_raw, g, shard=jnp.int32(1)))
         assert s0 == int(kernel_seed(k_raw, g)) and s0 != s1
+
+
+class TestGenCheckArtifact:
+    """The hardware PRNG validation is a COMMITTED artifact
+    (benchmarks/gen_check.json, written by tools/tpu_gen_check.py on a real
+    chip). These tests fail when seeding-relevant sources change without the
+    artifact being regenerated — the round-1 seed-aliasing regression class
+    (commit ea801c8) now breaks CI instead of shipping silently."""
+
+    def _load(self):
+        import json
+
+        from pmfm_tpu.utils.provenance import GEN_CHECK_ARTIFACT
+
+        assert GEN_CHECK_ARTIFACT.exists(), (
+            "benchmarks/gen_check.json missing - run tools/tpu_gen_check.py "
+            "on a real TPU"
+        )
+        return json.loads(GEN_CHECK_ARTIFACT.read_text())
+
+    def test_artifact_fresh_vs_seeding_sources(self):
+        from pmfm_tpu.utils.provenance import seeding_fingerprint
+
+        report = self._load()
+        assert report["fingerprint"] == seeding_fingerprint(), (
+            "kernel-PRNG-relevant sources (kernels/generation.py, "
+            "evolve kernel seeding, pipeline.kernel_seed) changed since the "
+            "hardware PRNG validation was captured - rerun "
+            "tools/tpu_gen_check.py on a real TPU and commit "
+            "benchmarks/gen_check.json"
+        )
+
+    def test_artifact_checks_passed(self):
+        report = self._load()
+        assert report["ok"], f"hardware PRNG checks failed: {report['checks']}"
+        for name in ("moments", "pick_uniformity_flat", "pick_uniformity_hier",
+                     "seed_sensitivity", "stream_collisions"):
+            assert report["checks"][name]["ok"], name
+        assert report["checks"]["stream_collisions"]["duplicate_rows"] == 0
