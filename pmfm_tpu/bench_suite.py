@@ -149,12 +149,15 @@ def suite_stages(args, bm):
 
 
 def suite_chunk_size(args, bm):
-    for log2 in (9, 10, 11, 12):
+    # 2^9..2^12 run the fused Pallas engines; 2^13..2^15 are VMEM-gated onto
+    # the folded XLA large-frame engine (spectral.magnitude_spectrum_folded)
+    for log2 in (9, 10, 11, 12, 13, 14, 15):
         cfg = _base_cfg(args, audio_length_log2=log2)
-        dt = _steady_time(_make_runner(cfg, args.gens))
+        gens = args.gens if log2 <= 12 else max(5, args.gens // 5)
+        dt = _steady_time(_make_runner(cfg, gens))
         name = f"AudioAnalysisChunkSize_{1<<log2}"
         bm.add_timer(name, dt * 1e3)
-        print(f"{name}: {dt*1e3:.1f}ms ({cfg.population_size*args.gens/dt/1e6:.2f}M evals/s)")
+        print(f"{name}: {dt*1e3:.1f}ms ({cfg.population_size*gens/dt/1e6:.2f}M evals/s)")
         bm.elapsed_timer(name)
 
 

@@ -148,6 +148,13 @@ def _evaluate_block(
     s = mean_j |amp_j|: each pair's output is scaled by amp_j * 63/(3s) at
     runtime (a multiply the bf16 path pays anyway), which bounds the
     normalised sum to |.| <= 63; the magnitude rescale is s * dft_scale.
+
+    Passing ``dft_ref=None`` selects EMIT-ONLY mode (kernels/synth_fold.py,
+    the large-frame hybrid): the folded a+/a- land in ``scratches`` (which
+    are then output refs, not scratch) and the function returns
+    ``(edge_q (1, PB), mag_scale (1, PB) or None)`` instead of the fitness —
+    the DFT + fitness run in XLA outside, where the (2K, N/2) matmul has no
+    VMEM budget. Requires ``num_frames == 1``.
     """
     # Everything runs in TURNS (phase / wavetable_size): the wrap "mod wts"
     # becomes frac(x) = x - floor(x) (no division), and the oscillator is a
@@ -360,6 +367,8 @@ def _evaluate_block(
             # block; the row-0 slot is n = 0, whose operand column is
             # zero (w[0] = 0), so no next-sample carry is needed
             emit(0, prev_q, None)
+            if dft_ref is None:  # EMIT-ONLY (see docstring): a+/a- are done
+                return edge_q, (mag_scale if int8_mode else None)
             dft = dft_ref[:]  # (2K, N/2) int8/bf16 folded operand
             u = jax.lax.dot_general(
                 dft[:k], a_plus[:], dn_std, preferred_element_type=adtype

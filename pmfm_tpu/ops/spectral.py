@@ -200,6 +200,112 @@ def magnitude_spectrum(audio_tm: jax.Array, ops: SpectrumOps) -> jax.Array:
     return jnp.sqrt(re * re + im * im)
 
 
+def magnitude_spectrum_folded(
+    audio_tm: jax.Array, ops: SpectrumOps
+) -> jax.Array:
+    """Normalised magnitude spectrum via the FOLDED operand, pure XLA — the
+    large-frame engine (VERDICT r1 missing #2).
+
+    Above the fused kernel's VMEM gate (n >= 4096 at bench populations) the
+    DFT matmul dominates the generation (O(N*K) MACs vs O(N) synthesis), and
+    XLA tiles an HBM-resident matmul natively with no VMEM budget. This path
+    applies the same w[N-n] = w[n] fold as the Pallas kernels
+    (SpectrumOps.dft_packed docs): build a+/- = x[n] +- x[N-n] in XLA and
+    contract each against the half-length operand — HALF the MACs and
+    operand bytes of the naive (N, K) form. With the int8 operand
+    (dft_dtype="int8") the audio is additionally quantised per candidate at
+    127/max|a| LSB (int32-exact accumulation, 2x the bf16 MXU rate); with
+    bf16 the folded sums are bf16-rounded like the kernel's scratch.
+
+    Args: ``audio_tm`` (N, pop) float32 or bf16. Returns (pop, num_bins).
+    """
+    if ops.dft_packed is None:
+        raise ValueError("folded path needs SpectrumOps.dft_packed (even n)")
+    n, k = ops.n, ops.num_bins
+    x = audio_tm.astype(jnp.float32)
+    # a+[m] = x[m] + x[N-m], a-[m] = x[m] - x[N-m] for m = 1..N/2-1;
+    # m = 0 pairs with itself (operand column is zero: w[0] = 0) and the
+    # x[N/2] edge term is applied post-matmul, exactly like the kernel.
+    xr = jnp.concatenate([x[0:1], x[1:][::-1]], axis=0)[: n // 2]
+    a_plus = x[: n // 2] + xr
+    a_minus = x[: n // 2] - xr
+    edge = x[n // 2]  # (pop,)
+    int8_mode = ops.dft_packed_scale > 0.0
+    # contract operand time axis (dim 1 of the (2K, N/2) packed form)
+    # directly against audio time (dim 0) — NO transposes: XLA does not
+    # hoist large operand relayouts out of scan bodies (SpectrumOps docs)
+    dn = (((1,), (0,)), ((), ()))
+    if int8_mode:
+        # per-candidate dynamic quantisation: 127 LSB at the folded peak
+        peak = jnp.maximum(
+            jnp.max(jnp.abs(a_plus), axis=0),
+            jnp.maximum(jnp.max(jnp.abs(a_minus), axis=0), jnp.abs(edge)),
+        )  # (pop,)
+        scale = 127.0 / jnp.maximum(peak, 1e-30)
+        qp = jnp.round(a_plus * scale).astype(jnp.int8)
+        qm = jnp.round(a_minus * scale).astype(jnp.int8)
+        u = jax.lax.dot_general(
+            ops.dft_packed[:k], qp, dn, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)  # (K, pop); f32 cast exact to ~2^24, rel 6e-8 above
+        v = jax.lax.dot_general(
+            ops.dft_packed[k:], qm, dn, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        eq = jnp.round(edge * scale)  # quantised edge sample (f32 carrier)
+        kpar = (-1.0) ** jnp.arange(k, dtype=jnp.float32)
+        # edge operand entry is w[N/2]*cos(pi k) = 2*(-1)^k; quantised at
+        # 63.5 LSB/unit -> exactly +-127 (matches the kernel's edge_norm)
+        u = u + (127.0 * kpar)[:, None] * eq[None, :]
+        mag = jnp.sqrt(u * u + v * v)  # (K, pop)
+        # operand rows are round(63.5 * w * trig) WITHOUT norm (see
+        # SpectrumOps); audio LSB is peak/127
+        rescale = jnp.float32(ops.norm / 63.5) * peak / 127.0
+        return (mag * rescale[None, :]).T
+    qp = a_plus.astype(jnp.bfloat16)
+    qm = a_minus.astype(jnp.bfloat16)
+    u = jax.lax.dot_general(
+        ops.dft_packed[:k], qp, dn, preferred_element_type=jnp.float32
+    )
+    v = jax.lax.dot_general(
+        ops.dft_packed[k:], qm, dn, preferred_element_type=jnp.float32
+    )
+    # bf16 operand folds window+norm; edge coefficient 2*norm*(-1)^k
+    kpar = (-1.0) ** jnp.arange(k, dtype=jnp.float32)
+    u = u + (2.0 * jnp.float32(ops.norm) * kpar)[:, None] * edge[None, :]
+    return jnp.sqrt(u * u + v * v).T
+
+
+def magnitude_spectrum_prefolded(
+    a_plus: jax.Array,  # (N/2, pop) int8 or bf16 (f32 on CPU interpret)
+    a_minus: jax.Array,
+    edge: jax.Array,  # (pop,) f32 — x[N/2], quantised in int8 mode
+    mag_scale: jax.Array,  # (pop,) f32 — |amp|*dft_scale (int8) or ones
+    ops: SpectrumOps,
+) -> jax.Array:
+    """Spectrum from PRE-folded (and pre-quantised) audio — the XLA half of
+    the large-frame hybrid (kernels/synth_fold.py): two (K, N/2) dots, the
+    x[N/2] edge term, magnitude, per-candidate rescale. Numerics match the
+    fully-fused kernel exactly in int8 mode (same integer accumulation,
+    same +-127 edge coefficient). Returns (pop, num_bins)."""
+    k = ops.num_bins
+    int8_mode = ops.dft_packed_scale > 0.0
+    dn = (((1,), (0,)), ((), ()))
+    acc = jnp.int32 if int8_mode else jnp.float32
+    # CPU interpret carries bf16 values in f32 (no XLA:CPU bf16 dot, values
+    # already bf16-rounded by the kernel) — match the operand dtype to it
+    packed = ops.dft_packed if int8_mode else ops.dft_packed.astype(a_plus.dtype)
+    u = jax.lax.dot_general(
+        packed[:k], a_plus, dn, preferred_element_type=acc
+    ).astype(jnp.float32)
+    v = jax.lax.dot_general(
+        packed[k:], a_minus, dn, preferred_element_type=acc
+    ).astype(jnp.float32)
+    kpar = (-1.0) ** jnp.arange(k, dtype=jnp.float32)
+    edge_norm = 127.0 if int8_mode else 2.0 * float(ops.norm)
+    u = u + (edge_norm * kpar)[:, None] * edge[None, :]
+    mag = jnp.sqrt(u * u + v * v)  # (K, pop)
+    return (mag * mag_scale[None, :]).T
+
+
 def target_spectrum(target_audio: jax.Array, ops: SpectrumOps) -> jax.Array:
     """Spectrum of one target frame — setTargetAudio / Objective::calculateFFT
     (Evolutionary_Strategy_OpenCL.hpp:563-570). Returns ``(num_bins,)``."""

@@ -7,6 +7,7 @@ import jax.numpy as jnp
 
 from pmfm_tpu import ops
 from pmfm_tpu.ops.oracle import OracleObjective
+from pmfm_tpu.ops import spectral
 
 
 def rel_err(a, b):
@@ -159,3 +160,121 @@ class TestSpectrum:
         np.testing.assert_allclose(got, expect, rtol=5e-2)
         # ranking must agree exactly (it drives selection)
         assert list(np.argsort(got)) == list(np.argsort(expect))
+
+
+class TestFoldedSpectrumXLA:
+    """magnitude_spectrum_folded (the pure-XLA large-frame engine) against
+    the unfolded f32 path — same fold identity as the Pallas kernels
+    (SpectrumOps.dft_packed docs), so parity bounds are quantisation-only."""
+
+    def _case(self, n, dtype):
+        rng = np.random.default_rng(3)
+        pop = 8
+        audio = jnp.asarray(
+            rng.uniform(-900.0, 900.0, (n, pop)).astype(np.float32)
+        )
+        so_ref = spectral.make_spectrum_ops(n, method="dft", dft_dtype=jnp.float32)
+        so = spectral.make_spectrum_ops(n, method="dft", dft_dtype=dtype)
+        ref = np.asarray(spectral.magnitude_spectrum(audio, so_ref))
+        got = np.asarray(spectral.magnitude_spectrum_folded(audio, so))
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        return rel
+
+    @pytest.mark.parametrize("n", [512, 2048, 8192])
+    def test_bf16_folded_parity(self, n):
+        assert self._case(n, jnp.bfloat16) < 1.5e-2
+
+    @pytest.mark.parametrize("n", [512, 2048, 8192])
+    def test_int8_folded_parity(self, n):
+        assert self._case(n, jnp.int8) < 2.5e-2
+
+    def test_large_frame_engine_used_above_vmem_gate(self):
+        """n=8192 int8: the fused kernel gates off on VMEM, and evaluate()
+        must route to the folded XLA engine and still rank a planted truth
+        candidate first."""
+        from pmfm_tpu.es import ESConfig, make_spectrum_ops
+        from pmfm_tpu.es.strategy import _fused_ok, evaluate
+        from pmfm_tpu.ops import synthesize
+        from pmfm_tpu.ops.synthesis import scale_params
+
+        cfg = ESConfig(
+            num_parents=4, num_offspring=28, num_dimensions=6,
+            topology="fm3_series", audio_length_log2=13,
+            synthesis_engine="scanless", spectrum_method="dft",
+            dft_dtype="int8", fused_kernel=True, fused_generation=True,
+        )
+        so = make_spectrum_ops(cfg)
+        assert not _fused_ok(cfg, so)  # VMEM gate rejects n=8192
+        rng = np.random.default_rng(0)
+        genes = jnp.asarray(rng.uniform(0.1, 0.9, (32, 6)).astype(np.float32))
+        truth = genes[7]
+        mins = jnp.asarray(cfg.param_mins)
+        maxs = jnp.asarray(cfg.param_maxs)
+        target_audio = synthesize(
+            scale_params(truth[None], mins, maxs), cfg.n_samples,
+            cfg.topology, engine="scanless",
+        )[:, 0]
+        tspec = spectral.target_spectrum(
+            target_audio, make_spectrum_ops(cfg)
+        )
+        fits = np.asarray(evaluate(genes, tspec, so, cfg))
+        assert fits.argmin() == 7
+        assert fits[7] < 0.05 * np.partition(fits, 1)[1]
+
+
+class TestSynthFoldHybrid:
+    """kernels/synth_fold.py: Pallas synthesis+fold, XLA spectrum — the
+    large-frame engine. Interpret mode is numerically real here (no PRNG),
+    so the hybrid is testable end-to-end on CPU."""
+
+    @pytest.mark.parametrize("dtype", [jnp.int8, jnp.bfloat16])
+    def test_matches_f32_spectrum(self, dtype):
+        from pmfm_tpu.kernels.synth_fold import fused_synth_fold
+        from pmfm_tpu.ops import synthesize
+
+        n, pop = 2048, 32
+        rng = np.random.default_rng(5)
+        maxs = np.asarray([3520, 8, 3520, 8, 3520, 8], np.float32)
+        scaled = jnp.asarray(rng.uniform(0.1, 0.9, (pop, 6)).astype(np.float32) * maxs)
+        so = spectral.make_spectrum_ops(n, method="dft", dft_dtype=dtype)
+        ap, am, edge, ms = fused_synth_fold(
+            scaled, topology="fm3_series", n=n, pop_block=32,
+            interpret=True, dft_scale=so.dft_packed_scale,
+        )
+        got = np.asarray(spectral.magnitude_spectrum_prefolded(ap, am, edge, ms, so))
+        so32 = spectral.make_spectrum_ops(n, method="dft", dft_dtype=jnp.float32)
+        audio = synthesize(scaled, n, "fm3_series", engine="scanless")
+        ref = np.asarray(spectral.magnitude_spectrum(audio, so32))
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < (3e-2 if dtype == jnp.int8 else 1.5e-2)
+
+    def test_gate_and_ranking(self):
+        """The strategy gate routes large frames to the hybrid and a planted
+        truth candidate still ranks first at n=4096."""
+        from pmfm_tpu.es import ESConfig, make_spectrum_ops
+        from pmfm_tpu.es.strategy import _fused_ok, _synth_fold_ok, evaluate
+        from pmfm_tpu.ops import synthesize
+        from pmfm_tpu.ops.synthesis import scale_params
+
+        cfg = ESConfig(
+            num_parents=4, num_offspring=124, num_dimensions=6,
+            topology="fm3_series", audio_length_log2=13,
+            synthesis_engine="scanless", spectrum_method="dft",
+            dft_dtype="int8", fused_kernel=True, fused_generation=True,
+            pop_block=128,
+        )
+        so = make_spectrum_ops(cfg)
+        assert not _fused_ok(cfg, so)
+        assert _synth_fold_ok(cfg, so)
+        rng = np.random.default_rng(1)
+        genes = jnp.asarray(rng.uniform(0.1, 0.9, (128, 6)).astype(np.float32))
+        truth = genes[17]
+        mins = jnp.asarray(cfg.param_mins)
+        maxs = jnp.asarray(cfg.param_maxs)
+        target_audio = synthesize(
+            scale_params(truth[None], mins, maxs), cfg.n_samples,
+            cfg.topology, engine="scanless",
+        )[:, 0]
+        tspec = spectral.target_spectrum(target_audio, so)
+        fits = np.asarray(evaluate(genes, tspec, so, cfg))
+        assert fits.argmin() == 17
