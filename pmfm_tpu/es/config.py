@@ -84,6 +84,19 @@ class ESConfig:
     # XLA paths always use jnp.sin.
     sine_order: int = 9
 
+    # Precision annealing: run the final `refine_generations` of a match
+    # under the f32/jnp.sin XLA engine (fresh f32 target spectrum, best
+    # rescored at the phase boundary). Motivation (round-2 quality audit,
+    # benchmarks/quality_gates.json): at 64 PAIRED seeds every quantised
+    # engine (even bf16) converges to a ~1.4-1.6x worse f32-rescored final
+    # fitness than pure f32 — early convergence is identical
+    # (generations-to-threshold match), the deficit is late-stage
+    # refinement where quantised fitness can no longer rank near-equal
+    # candidates. A short f32 tail recovers the refinement depth at a few
+    # percent of the f32 engine's cost. 0 = off (single-engine, the
+    # reference-shaped behaviour).
+    refine_generations: int = 0
+
     # capability upgrades over the reference (SURVEY.md §7.2 item 8)
     fitness_threshold: float = 0.0  # 0 disables early stop (dead knob in ref)
     # >1: one ES run scored against `num_frames` STFT frames of a longer
@@ -120,6 +133,8 @@ class ESConfig:
             raise ValueError("num_frames must be >= 1")
         if self.sine_order not in (5, 7, 9):
             raise ValueError("sine_order must be 5, 7 or 9")
+        if self.refine_generations < 0:
+            raise ValueError("refine_generations must be >= 0")
 
     # --- derived ---------------------------------------------------------
     @property
@@ -166,3 +181,11 @@ class ESConfig:
 
     def replace(self, **kw) -> "ESConfig":
         return dataclasses.replace(self, **kw)
+
+    def refine_config(self) -> "ESConfig":
+        """The f32/jnp.sin XLA engine the refine phase runs under (see
+        refine_generations)."""
+        return self.replace(
+            dft_dtype="float32", fused_kernel=False, fused_generation=False,
+            fused_evolve=False, sine_order=9, refine_generations=0,
+        )

@@ -327,6 +327,55 @@ def evolve(
     return final, (traj if record_trajectory else None)
 
 
+def _evolve_on_target(
+    state: ESState,
+    target_audio: jax.Array,
+    num_generations: int,
+    spectrum_ops: spectral.SpectrumOps,
+    cfg: ESConfig,
+    mesh,
+    record_trajectory: bool,
+    stft: bool,
+):
+    """evolve (sharded if ``mesh``) against ``target_audio``, with the
+    optional PRECISION-ANNEALING tail: the last ``cfg.refine_generations``
+    run under the f32/jnp.sin XLA engine against a freshly-computed f32
+    target spectrum (ESConfig.refine_generations rationale). The best-ever
+    fitness is rescored under the refine engine at the phase boundary so
+    cross-engine fitness scales cannot mask/fake improvements."""
+
+    def tspec_for(so_):
+        if stft:
+            t = spectral.target_spectrum_frames(target_audio, so_)
+            return t[0] if cfg.num_frames == 1 else t
+        return spectral.target_spectrum(target_audio, so_)
+
+    def ev(s, t, n, so_, cfg_):
+        if mesh is not None:
+            from ..parallel.sharded import evolve_sharded
+
+            return evolve_sharded(s, t, n, so_, cfg_, mesh, record_trajectory)
+        return evolve(s, t, n, so_, cfg_, record_trajectory)
+
+    refine = (
+        min(cfg.refine_generations, num_generations)
+        if cfg.refine_generations > 0
+        else 0
+    )
+    final, traj = ev(state, tspec_for(spectrum_ops), num_generations - refine,
+                     spectrum_ops, cfg)
+    if refine:
+        cfg_r = cfg.refine_config()
+        so_r = make_spectrum_ops(cfg_r)
+        tspec_r = tspec_for(so_r)
+        bf = evaluate(final.best_values[None], tspec_r, so_r, cfg_r)[0]
+        final = final._replace(best_fitness=bf)
+        final, traj_r = ev(final, tspec_r, refine, so_r, cfg_r)
+        if traj is not None and traj_r is not None:
+            traj = jnp.concatenate([traj, traj_r])
+    return final, traj
+
+
 @lru_cache(maxsize=32)
 def _compiled_chunk_matcher(
     cfg: ESConfig, num_generations: int, record_trajectory: bool, mesh=None
@@ -340,17 +389,11 @@ def _compiled_chunk_matcher(
 
     @jax.jit
     def run(key, target_audio):
-        tspec = spectral.target_spectrum(target_audio, so)
         state = init_state(key, cfg)
-        if mesh is not None:
-            from ..parallel.sharded import evolve_sharded
-
-            final, traj = evolve_sharded(
-                state, tspec, num_generations, so, cfg, mesh, record_trajectory
-            )
-        else:
-            final, traj = evolve(state, tspec, num_generations, so, cfg,
-                                 record_trajectory)
+        final, traj = _evolve_on_target(
+            state, target_audio, num_generations, so, cfg, mesh,
+            record_trajectory, stft=False,
+        )
         best_scaled = synthesis.scale_params(final.best_values, mins, maxs)
         best_audio = synthesis.synthesize(
             best_scaled[None, :],
@@ -377,19 +420,11 @@ def _compiled_stft_matcher(cfg: ESConfig, num_generations: int, record_trajector
 
     @jax.jit
     def run(key, target_audio):
-        tframes = spectral.target_spectrum_frames(target_audio, so)  # (F, bins)
-        if cfg.num_frames == 1:
-            tframes = tframes[0]  # single-frame fitness path takes (bins,)
         state = init_state(key, cfg)
-        if mesh is not None:
-            from ..parallel.sharded import evolve_sharded
-
-            final, traj = evolve_sharded(
-                state, tframes, num_generations, so, cfg, mesh, record_trajectory
-            )
-        else:
-            final, traj = evolve(state, tframes, num_generations, so, cfg,
-                                 record_trajectory)
+        final, traj = _evolve_on_target(
+            state, target_audio, num_generations, so, cfg, mesh,
+            record_trajectory, stft=True,
+        )
         best_scaled = synthesis.scale_params(final.best_values, mins, maxs)
         best_audio = synthesis.synthesize(
             best_scaled[None, :],

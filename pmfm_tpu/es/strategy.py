@@ -271,6 +271,10 @@ def _synth_fold_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
         and spectrum_ops.dft_packed is not None
         and cfg.num_frames == 1
         and cfg.n_samples % (2 * TIME_BLOCK) == 0
+        # beyond n=8192 the unrolled time loop (nb = n/128 blocks) makes
+        # Mosaic compile impractically slow (>10 min at n=16384, measured);
+        # those sizes take the folded-XLA engine below instead
+        and cfg.n_samples <= 8192
     ):
         return False
     pb = fold_pop_block(

@@ -36,6 +36,7 @@ TPU extension section (all optional)::
     "mutationNoise": "clt12",       # clt12 | normal | clt12_neutral | normal_unit
     "minStep": 0.0,                 # mutation step floor (0 = reference)
     "restartPatience": 0,           # restart parents after N stalled gens
+    "refineGenerations": 0,         # f32 precision-annealing tail length
     "dftDtype": "float32",          # float32 | bfloat16 | int8
     "sineOrder": 9,                 # fused-kernel sine polynomial (9 | 7 | 5)
     "numBins": null,
@@ -132,6 +133,7 @@ def parse_config(j: dict[str, Any]) -> RunConfig:
         min_step=float(tpu.get("minStep", 0.0)),
         sine_order=int(tpu.get("sineOrder", 9)),
         restart_patience=int(tpu.get("restartPatience", 0)),
+        refine_generations=int(tpu.get("refineGenerations", 0)),
         dft_dtype=tpu.get("dftDtype", "float32"),
         workgroup_size=int(
             (

@@ -278,3 +278,54 @@ class TestCheckpointedTrajectory:
         assert traj2.shape == (8,)
         np.testing.assert_array_equal(traj2[:4], traj)
         assert np.all(np.diff(traj2) <= 1e-7)  # best-ever monotone
+
+
+class TestRefinePhase:
+    """ESConfig.refine_generations: precision-annealing tail (the round-2
+    response to the 64-seed paired quality audit)."""
+
+    def test_refine_runs_and_scores_under_f32(self):
+        import jax.numpy as jnp
+
+        from pmfm_tpu.es import ESConfig, make_spectrum_ops
+        from pmfm_tpu.es.pipeline import match_audio
+        from pmfm_tpu.es.strategy import evaluate
+        from pmfm_tpu.ops import synthesize_single
+        from pmfm_tpu.ops.spectral import target_spectrum
+        from pmfm_tpu.ops.synthesis import scale_params
+
+        cfg = ESConfig(
+            num_parents=8, num_offspring=56, num_dimensions=6,
+            topology="fm3_series", audio_length_log2=9,
+            synthesis_engine="scanless", spectrum_method="dft",
+            dft_dtype="bfloat16", refine_generations=3,
+        )
+        truth = jnp.asarray([0.6, 0.3, 0.5, 0.25, 0.7, 0.2])
+        scaled = scale_params(truth[None], jnp.asarray(cfg.param_mins),
+                              jnp.asarray(cfg.param_maxs))[0]
+        target = np.asarray(synthesize_single(scaled, cfg.n_samples, cfg.topology))
+        r = match_audio(target, cfg, key=3, num_generations=8,
+                        record_trajectory=True)
+        c = r.chunks[0]
+        assert c.generations_run == 8
+        assert len(c.trajectory) == 8
+        assert np.isfinite(c.best_fitness)
+        # post-refine invariant: the reported best fitness is the REFINE
+        # engine's (f32/jnp.sin) score of the reported best candidate
+        cfg_r = cfg.refine_config()
+        so_r = make_spectrum_ops(cfg_r)
+        tspec_r = target_spectrum(jnp.asarray(target), so_r)
+        rescored = float(evaluate(
+            jnp.asarray(c.best_params_norm)[None], tspec_r, so_r, cfg_r)[0])
+        np.testing.assert_allclose(c.best_fitness, rescored, rtol=1e-3)
+
+    def test_refine_config_is_f32_xla(self):
+        from pmfm_tpu.es import ESConfig
+
+        cfg = ESConfig(num_parents=4, num_offspring=4, num_dimensions=6,
+                       dft_dtype="int8", fused_kernel=True,
+                       fused_generation=True, sine_order=7,
+                       refine_generations=10)
+        r = cfg.refine_config()
+        assert r.dft_dtype == "float32" and not r.fused_kernel
+        assert not r.fused_generation and r.refine_generations == 0

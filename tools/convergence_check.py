@@ -65,6 +65,14 @@ VARIANTS = {
                       fused_generation=True, sine_order=7),
     "int8+sin5": dict(dft_dtype="int8", fused_kernel=True,
                       fused_generation=True, sine_order=5),
+    # precision annealing (ESConfig.refine_generations): fast engine for
+    # gens-R, then R generations under the f32/jnp.sin XLA engine — the
+    # round-2 response to the 64-seed paired audit (every quantised engine
+    # refines ~1.4-1.6x shallower than f32; the f32 tail restores depth at
+    # ~15% of the pure-f32 cost)
+    "int8+sin7+refine": dict(dft_dtype="int8", fused_kernel=True,
+                             fused_generation=True, sine_order=7,
+                             refine_generations=100),
 }
 # sine-order sweep aliases (same configs, shorter names)
 VARIANTS["sin9"] = VARIANTS["int8"]
@@ -137,17 +145,18 @@ def paired_stats(variant_fits: np.ndarray, base_fits: np.ndarray) -> dict:
     }
 
 
-def gens_to_converge(rescored: np.ndarray, seg_gens: int, threshold: float):
-    """Per seed: first generation count whose segment-boundary f32-rescored
-    best fitness is <= threshold. rescored is (seeds, n_segs)."""
-    seeds, n_segs = rescored.shape
+def gens_to_converge(rescored: np.ndarray, boundaries, threshold: float):
+    """Per seed: first segment boundary (generation count) whose
+    f32-rescored best fitness is <= threshold. rescored is
+    (seeds, len(boundaries))."""
+    boundaries = np.asarray(boundaries)
     hit = rescored <= threshold
-    first = np.where(hit.any(axis=1), hit.argmax(axis=1), n_segs)
-    gens = (first + 1) * seg_gens  # converged by the END of that segment
-    converged = first < n_segs
+    first = np.where(hit.any(axis=1), hit.argmax(axis=1), len(boundaries) - 1)
+    gens = boundaries[first]
+    converged = hit.any(axis=1)
     out = {
         "threshold_f32_rescored": float(threshold),
-        "segment_gens": int(seg_gens),
+        "boundaries_gens": [int(b) for b in boundaries],
         "frac_converged": float(np.mean(converged)),
         "gens": [int(g) if c else None for g, c in zip(gens, converged)],
     }
@@ -180,7 +189,6 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     pop = 1 << args.pop_log2
-    n_segs = max(1, args.gens // args.segment_gens)
     base = ESConfig(
         num_parents=args.mu, num_offspring=pop - args.mu, num_dimensions=6,
         topology="fm3_series", audio_length_log2=10,
@@ -205,17 +213,34 @@ def main(argv=None) -> int:
         cfg = base.replace(**VARIANTS[name])
         so = make_spectrum_ops(cfg)
         tspec = target_spectrum(audio, so)
+        refine = (
+            min(cfg.refine_generations, args.gens)
+            if cfg.refine_generations > 0 else 0
+        )
+        cfg1 = cfg.replace(refine_generations=0)
+        n1 = max(1, (args.gens - refine) // args.segment_gens)
+        boundaries = [args.segment_gens * (i + 1) for i in range(n1)]
+        if refine:
+            boundaries.append(args.gens)
 
         @jax.jit
-        def run(key, cfg=cfg, so=so, tspec=tspec):
-            state = init_state(key, cfg)
+        def run(key, cfg1=cfg1, so=so, tspec=tspec, refine=refine, n1=n1):
+            state = init_state(key, cfg1)
 
             def seg(s, _):
-                s2, _ = evolve(s, tspec, args.segment_gens, so, cfg)
+                s2, _ = evolve(s, tspec, args.segment_gens, so, cfg1)
                 return s2, s2.best_values
 
-            final, bvs = jax.lax.scan(seg, state, None, length=n_segs)
-            return final.best_values, bvs  # (D,), (n_segs, D)
+            final, bvs = jax.lax.scan(seg, state, None, length=n1)
+            if refine:
+                cfg_r = cfg1.refine_config()
+                so_r = make_spectrum_ops(cfg_r)
+                tspec_r = target_spectrum(audio, so_r)
+                bf = evaluate(final.best_values[None], tspec_r, so_r, cfg_r)[0]
+                final = final._replace(best_fitness=bf)
+                final, _ = evolve(final, tspec_r, refine, so_r, cfg_r)
+                bvs = jnp.concatenate([bvs, final.best_values[None]])
+            return final.best_values, bvs  # (D,), (len(boundaries), D)
 
         finals, trajs = [], []
         t0 = time.time()
@@ -231,7 +256,7 @@ def main(argv=None) -> int:
         seg_fits = np.asarray(
             rescore_batch(jnp.asarray(trajs.reshape(-1, trajs.shape[-1]))),
             np.float64,
-        ).reshape(args.seeds, n_segs)
+        ).reshape(args.seeds, len(boundaries))
         results[name] = {
             "median": float(np.median(fits)),
             "mean": float(fits.mean()),
@@ -239,7 +264,7 @@ def main(argv=None) -> int:
             "max": float(fits.max()),
             "fits": fits.tolist(),
             "generations_to_converge": gens_to_converge(
-                seg_fits, args.segment_gens, args.threshold
+                seg_fits, boundaries, args.threshold
             ),
         }
         gtc = results[name]["generations_to_converge"]
