@@ -95,7 +95,16 @@ class ESConfig:
     # candidates. A short f32 tail recovers the refinement depth at a few
     # percent of the f32 engine's cost. 0 = off (single-engine, the
     # reference-shaped behaviour).
+    #
+    # Follow-up audit finding: a refine tail ALONE changes nothing
+    # (measured: identical medians) because under the reference's
+    # contractive clt12 dynamics the steps have decayed to ~0 long before
+    # the tail starts — the population is frozen, in any precision. The
+    # refine boundary therefore also RE-OPENS the steps to
+    # refine_step_floor (a local f32 polish around the converged parents;
+    # steps re-adapt from there). Set 0.0 to disable the re-opening.
     refine_generations: int = 0
+    refine_step_floor: float = 0.01
 
     # capability upgrades over the reference (SURVEY.md §7.2 item 8)
     fitness_threshold: float = 0.0  # 0 disables early stop (dead knob in ref)
@@ -188,4 +197,5 @@ class ESConfig:
         return self.replace(
             dft_dtype="float32", fused_kernel=False, fused_generation=False,
             fused_evolve=False, sine_order=9, refine_generations=0,
+            refine_step_floor=0.0,
         )

@@ -369,7 +369,12 @@ def _evolve_on_target(
         so_r = make_spectrum_ops(cfg_r)
         tspec_r = tspec_for(so_r)
         bf = evaluate(final.best_values[None], tspec_r, so_r, cfg_r)[0]
-        final = final._replace(best_fitness=bf)
+        ps = final.parent_steps
+        if cfg.refine_step_floor > 0.0:
+            # re-open the frozen steps so the f32 tail can actually search
+            # (ESConfig.refine_step_floor rationale); they re-adapt from here
+            ps = jnp.maximum(ps, jnp.float32(cfg.refine_step_floor))
+        final = final._replace(best_fitness=bf, parent_steps=ps)
         final, traj_r = ev(final, tspec_r, refine, so_r, cfg_r)
         if traj is not None and traj_r is not None:
             traj = jnp.concatenate([traj, traj_r])

@@ -37,6 +37,7 @@ TPU extension section (all optional)::
     "minStep": 0.0,                 # mutation step floor (0 = reference)
     "restartPatience": 0,           # restart parents after N stalled gens
     "refineGenerations": 0,         # f32 precision-annealing tail length
+    "refineStepFloor": 0.01,        # step re-opening at the refine boundary
     "dftDtype": "float32",          # float32 | bfloat16 | int8
     "sineOrder": 9,                 # fused-kernel sine polynomial (9 | 7 | 5)
     "numBins": null,
@@ -134,6 +135,7 @@ def parse_config(j: dict[str, Any]) -> RunConfig:
         sine_order=int(tpu.get("sineOrder", 9)),
         restart_patience=int(tpu.get("restartPatience", 0)),
         refine_generations=int(tpu.get("refineGenerations", 0)),
+        refine_step_floor=float(tpu.get("refineStepFloor", 0.01)),
         dft_dtype=tpu.get("dftDtype", "float32"),
         workgroup_size=int(
             (

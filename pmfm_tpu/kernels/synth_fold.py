@@ -40,11 +40,15 @@ from .synth_fitness import TIME_BLOCK, _evaluate_block, _tri_strict, resolve_pop
 
 def fold_pop_block(pop: int, pop_block: int, n: int, int8_mode: bool) -> int:
     """The pop_block this kernel actually uses: the (N/2, PB) output block
-    pair is the VMEM budget, so PB halves until it fits ~10 MB. One
+    pair is the VMEM budget (Mosaic double-buffers blocked outputs, so the
+    scoped cost is ~2x the block bytes). 8 MB of blocks fits at n=8192
+    (measured); larger n needs headroom for the longer unrolled body —
+    n=16384 at the same 8 MB ran 68 KB over the 16 MB scoped limit. One
     definition shared with the strategy gate (_synth_fold_ok)."""
     pb = resolve_pop_block(pop, pop_block)
     bytes_per = 1 if int8_mode else 2
-    while pb > 128 and 2 * (n // 2) * pb * bytes_per > 10 * (1 << 20):
+    budget = (8 if n <= 8192 else 4) * (1 << 20)
+    while pb > 128 and 2 * (n // 2) * pb * bytes_per > budget:
         pb //= 2
     return pb
 

@@ -237,7 +237,10 @@ def main(argv=None) -> int:
                 so_r = make_spectrum_ops(cfg_r)
                 tspec_r = target_spectrum(audio, so_r)
                 bf = evaluate(final.best_values[None], tspec_r, so_r, cfg_r)[0]
-                final = final._replace(best_fitness=bf)
+                ps = final.parent_steps
+                if cfg1.refine_step_floor > 0.0:
+                    ps = jnp.maximum(ps, jnp.float32(cfg1.refine_step_floor))
+                final = final._replace(best_fitness=bf, parent_steps=ps)
                 final, _ = evolve(final, tspec_r, refine, so_r, cfg_r)
                 bvs = jnp.concatenate([bvs, final.best_values[None]])
             return final.best_values, bvs  # (D,), (len(boundaries), D)
