@@ -96,11 +96,15 @@ def main():
         final, _ = evolve(state, tspec, GENS, so, cfg)
         return final.best_fitness
 
-    jax.block_until_ready(run(jax.random.PRNGKey(0)))  # compile + warm
+    from pmfm_tpu.utils import device_sync  # axon: block_until_ready on
+    # scalar outputs has returned early AND hung outright (2026-08-20);
+    # np.asarray materialisation is the reliable sync
+
+    device_sync(run(jax.random.PRNGKey(0)))  # compile + warm
     best = None
     for i in range(3):
         t0 = time.time()
-        jax.block_until_ready(run(jax.random.PRNGKey(i)))
+        device_sync(run(jax.random.PRNGKey(i)))
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     evals_per_sec = POP * GENS / best

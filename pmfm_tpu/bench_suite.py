@@ -25,13 +25,15 @@ import time
 
 
 def _steady_time(fn, *args, reps=3):
-    import jax
+    from .utils import device_sync  # NOT block_until_ready: it can return
+    # early or hang on scalar outputs under the axon backend (device_sync
+    # docstring)
 
-    jax.block_until_ready(fn(*args))
+    device_sync(fn(*args))
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        device_sync(fn(*args))
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return best
@@ -46,16 +48,25 @@ def _make_runner(cfg, gens):
 
     so = make_spectrum_ops(cfg)
     tspec = jnp.ones((so.num_bins,), jnp.float32)
+    # the (N, K)-scale DFT operands ride as jit ARGUMENTS, not closure
+    # constants: closure arrays are inlined into the HLO, and at n >= 16384
+    # the serialized program exceeds the remote compile service's request
+    # body limit (HTTP 413) on the axon dev tunnel
+    big = {
+        f: getattr(so, f)
+        for f in ("dft_cos", "dft_sin", "dft_packed")
+        if getattr(so, f) is not None
+    }
 
     @jax.jit
-    def run(key):
+    def run(key, big):
         state = init_state(key, cfg)
-        final, _ = evolve(state, tspec, gens, so, cfg)
+        final, _ = evolve(state, tspec, gens, so._replace(**big), cfg)
         return final.best_fitness
 
     import jax.random as jr
 
-    return lambda: run(jr.PRNGKey(0))
+    return lambda: run(jr.PRNGKey(0), big)
 
 
 # --engine presets: "default" = bf16 + --fused flag; "flagship" = the
@@ -128,9 +139,11 @@ def suite_stages(args, bm):
                 return xp, acc + jnp.sum(out).astype(jnp.float32) * 1e-30
             _, acc = jax.lax.fori_loop(0, iters, body, (x0, jnp.float32(0.0)))
             return acc
-        jax.block_until_ready(run(x))
+        from .utils import device_sync
+
+        device_sync(run(x))
         t0 = time.perf_counter()
-        jax.block_until_ready(run(x))
+        device_sync(run(x))
         return (time.perf_counter() - t0) / iters * 1e3
 
     stages = [

@@ -36,3 +36,21 @@ def maybe_trace(log_dir: str | None):
     else:
         with trace(log_dir):
             yield
+
+
+def device_sync(x):
+    """Reliable device synchronisation for timing loops.
+
+    ``jax.block_until_ready`` on SCALAR outputs misbehaves under the axon
+    dev-tunnel backend: it has been observed both returning before the
+    device finished (bogus ~0 ms timings) and, since 2026-08-20, HANGING
+    indefinitely on programs that execute fine (bench_suite population at
+    pop 2^11 — the same program syncs instantly via np.asarray).
+    Materialising every leaf on the host is the sync that actually works on
+    every backend. Returns ``x`` unchanged (device values untouched).
+    """
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(x):
+        np.asarray(leaf)
+    return x

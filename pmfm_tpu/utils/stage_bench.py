@@ -66,9 +66,12 @@ def timed_loop(stage_fn: Callable, x, iters: int = 20) -> float:
         _, acc = jax.lax.fori_loop(0, iters, body, (x0, jnp.float32(0.0)))
         return acc
 
-    jax.block_until_ready(run(x))  # compile
+    from .profiling import device_sync  # axon-safe sync (not
+    # block_until_ready: early-return/hang on scalar outputs)
+
+    device_sync(run(x))  # compile
     t0 = time.perf_counter()
-    jax.block_until_ready(run(x))
+    device_sync(run(x))
     return (time.perf_counter() - t0) / iters * 1e3
 
 

@@ -47,11 +47,13 @@ ENGINE = dict(synthesis_engine="scanless", spectrum_method="dft",
 
 
 def steady(run, key0=0):
-    jax.block_until_ready(run(jax.random.PRNGKey(key0)))
+    from pmfm_tpu.utils import device_sync
+
+    device_sync(run(jax.random.PRNGKey(key0)))
     best = None
     for i in range(3):
         t0 = time.time()
-        jax.block_until_ready(run(jax.random.PRNGKey(i)))
+        device_sync(run(jax.random.PRNGKey(i)))
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     return best

@@ -68,11 +68,11 @@ def main():
             final, _ = evolve_sharded(state, tspec, args.gens, so, cfg, mesh)
             return final.best_fitness
 
-        jax.block_until_ready(run(jax.random.PRNGKey(0)))
+        device_sync(run(jax.random.PRNGKey(0)))
         best = None
         for i in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(jax.random.PRNGKey(i)))
+            device_sync(run(jax.random.PRNGKey(i)))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         if base_time is None:
