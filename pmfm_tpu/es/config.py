@@ -60,6 +60,18 @@ class ESConfig:
     # tools/tpu_gpg_probe.py). Rounded down to a divisor of the run length.
     gens_per_step: int = 1
     pop_block: int = 512  # candidates per fused-kernel program
+    # ABLATION (measured SLOWER — keep False): software-pipeline the
+    # fused-generation kernel, lagging the frame-end DFT matmuls one grid
+    # step behind synthesis (bit-identical results;
+    # kernels/generation.py _gen_kernel_pipelined). Hardware-measured
+    # 0.625 -> 0.732 ms/gen at the bench config (tools/tpu_pipeline_probe.py,
+    # 2026-08-20): the U/V stores still stall on the matmuls at in-order
+    # issue, so no MXU/VPU overlap is gained and the dynamic parity
+    # indexing + two flush steps cost ~17%. Mosaic's in-order execution
+    # model means cross-unit overlap cannot be scheduled manually — see
+    # docs/KERNELS.md. Auto-disabled when multi-frame or over the VMEM
+    # budget (strategy.pipeline_dft_ok).
+    pipeline_dft: bool = False
     synthesis_engine: str = "scan"  # "scan" (reference parity) | "scanless" (fast)
     osc_mode: str = "floor"  # "floor" | "exact" | "table" (scan engine only)
     spectrum_method: str = "dft"  # "dft" | "rfft"

@@ -29,7 +29,8 @@ import numpy as np
 from ..ops import spectral, synthesis
 from .config import ESConfig
 from .strategy import (
-    ESState, evaluate, init_state, mutate, recombine, select, select_t,
+    ESState, evaluate, init_state, mutate, pipeline_dft_ok, recombine,
+    select, select_t,
 )
 
 
@@ -106,6 +107,7 @@ def fused_generation_kwargs(cfg: ESConfig, spectrum_ops, *, pop=None, interpret=
         dft_packed=spectrum_ops.dft_packed,
         dft_scale=spectrum_ops.dft_packed_scale,
         sine_order=cfg.sine_order,
+        pipeline_dft=pipeline_dft_ok(cfg, spectrum_ops),
     )
 
 
@@ -696,7 +698,8 @@ def evolve_checkpointed(
     while done < num_generations:
         n = min(every, num_generations - done)
         state, traj = seg(state, n)
-        jax.block_until_ready(state.best_fitness)
+        np.asarray(state.best_fitness)  # axon-safe sync (scalar: see
+        # utils.device_sync)
         done += n
         if record_trajectory:
             traj_parts.append(np.asarray(traj))

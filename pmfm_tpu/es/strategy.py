@@ -230,22 +230,26 @@ def _fused_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
     )
 
 
-def _fused_vmem_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
-    """Whether the kernel's VMEM-resident buffers fit the ~16 MB scoped
-    budget (large frames fall back to the XLA engines instead of failing at
-    compile — e.g. bf16 n=4096's (2K, N) operand alone is 32 MB)."""
+def _fused_vmem_bytes(
+    cfg: ESConfig, spectrum_ops: spectral.SpectrumOps, *, pipeline: bool = False
+) -> int:
+    """The fused kernels' VMEM-resident footprint estimate.
+
+    ``pipeline=True`` adds the software-pipelined generation kernel's extra
+    tenants (kernels/generation.py _gen_kernel_pipelined): the second a+/a-
+    parity buffer pair and the lagged (K, PB) U/V accumulators."""
     n, k = cfg.n_samples, spectrum_ops.num_bins
     from ..kernels.synth_fitness import resolve_pop_block
 
     pop = cfg.population_size
     pb = resolve_pop_block(pop, cfg.pop_block)
     int8_mode = spectrum_ops.dft_packed_scale > 0.0
-    if int8_mode:
-        dft_bytes = 2 * k * (n // 2)  # folded int8 operand
-        scratch_bytes = 2 * (n // 2) * pb  # a+ / a- int8
-    else:
-        dft_bytes = 2 * k * (n // 2) * 2  # folded bf16 operand
-        scratch_bytes = 2 * (n // 2) * pb * 2  # a+ / a- bf16
+    eb = 1 if int8_mode else 2  # element bytes of the folded operand/audio
+    dft_bytes = 2 * k * (n // 2) * eb  # folded operand
+    scratch_bytes = 2 * (n // 2) * pb * eb  # a+ / a-
+    if pipeline:
+        scratch_bytes *= 2  # parity double-buffering
+        scratch_bytes += 2 * k * pb * 4  # lagged U/V (int32 or f32)
     # params/target/tri/fitness, the generation kernel's (D, P) offspring
     # outputs, + double-buffering headroom
     other = (
@@ -253,7 +257,27 @@ def _fused_vmem_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
         + 8 * cfg.num_dimensions * pop
         + (1 << 20)
     )
-    return dft_bytes + scratch_bytes + other <= 12 * (1 << 20)
+    return dft_bytes + scratch_bytes + other
+
+
+def _fused_vmem_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
+    """Whether the kernel's VMEM-resident buffers fit the ~16 MB scoped
+    budget (large frames fall back to the XLA engines instead of failing at
+    compile — e.g. bf16 n=4096's (2K, N) operand alone is 32 MB)."""
+    return _fused_vmem_bytes(cfg, spectrum_ops) <= 12 * (1 << 20)
+
+
+def pipeline_dft_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
+    """Whether the fused-generation kernel should run software-pipelined
+    (cfg.pipeline_dft): single-frame only (the lag machinery assumes one
+    DFT per block), and the extra parity/U-V buffers must still fit VMEM —
+    otherwise fall back to the serialised kernel rather than to XLA."""
+    return (
+        cfg.pipeline_dft
+        and cfg.num_frames == 1
+        and _fused_vmem_bytes(cfg, spectrum_ops, pipeline=True)
+        <= 12 * (1 << 20)
+    )
 
 
 def _synth_fold_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
@@ -271,17 +295,23 @@ def _synth_fold_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
         and spectrum_ops.dft_packed is not None
         and cfg.num_frames == 1
         and cfg.n_samples % (2 * TIME_BLOCK) == 0
-        # beyond n=8192 the unrolled time loop (nb = n/128 blocks) makes
-        # Mosaic compile impractically slow (>10 min at n=16384, measured);
-        # those sizes take the folded-XLA engine below instead
-        and cfg.n_samples <= 8192
+        # above kernels/synth_fold.LOOPED_ABOVE_N the kernel switches its
+        # time loop to an in-kernel fori_loop (compile time flat in n,
+        # where the unrolled body took >10 min at n=16384); the remaining
+        # bound is the (N/2, PB) output-block VMEM budget via
+        # fold_pop_block below (bf16 n=32768 fails it -> folded XLA)
+        and cfg.n_samples <= 32768
     ):
         return False
+    from ..kernels.synth_fold import fold_vmem_ok
+
+    int8_mode = spectrum_ops.dft_packed_scale > 0.0
     pb = fold_pop_block(
-        cfg.population_size, cfg.pop_block, cfg.n_samples,
-        spectrum_ops.dft_packed_scale > 0.0,
+        cfg.population_size, cfg.pop_block, cfg.n_samples, int8_mode
     )
-    return pb % 128 == 0 or pb == cfg.population_size
+    return (pb % 128 == 0 or pb == cfg.population_size) and fold_vmem_ok(
+        cfg.population_size, cfg.pop_block, cfg.n_samples, int8_mode
+    )
 
 
 def _final_pop_block_ok(cfg: ESConfig) -> bool:

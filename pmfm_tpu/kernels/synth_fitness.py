@@ -99,80 +99,87 @@ def _sin_turns(w, scale: float = 1.0, order: int = 9):
     return w * acc
 
 
-def _evaluate_block(
+_DN_STD = (((1,), (0,)), ((), ()))
+
+
+def _edge_coef(k: int, edge_norm: float):
+    """(K, 1) coefficient of the x[N/2] edge term: edge_norm * (-1)^k."""
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    return jnp.float32(edge_norm) - jnp.float32(2.0 * edge_norm) * (
+        k_iota % 2
+    ).astype(jnp.float32)
+
+
+def _dft_uv(dft, a_plus, a_minus, k: int, adtype):
+    """The folded DFT's two half-length contractions: U = cos-half @ a+,
+    V = sin-half @ a- (int32-exact in int8 mode). Split from the epilogue so
+    the pipelined generation kernel (kernels/generation.py pipeline_dft) can
+    issue the matmuls one grid step before their VPU consumer."""
+    u = jax.lax.dot_general(
+        dft[:k], a_plus, _DN_STD, preferred_element_type=adtype
+    )
+    v = jax.lax.dot_general(
+        dft[k:], a_minus, _DN_STD, preferred_element_type=adtype
+    )
+    return u, v
+
+
+def _fit_epilogue(u, v, edge_q, mag_scale, target_col, edge_coef, k, pb):
+    """(U, V) -> one fitness row (1, PB): add the x[N/2] edge term, take
+    magnitudes, rescale (int8 mode), L2 against the target column."""
+    u = u.astype(jnp.float32)
+    v = v.astype(jnp.float32)
+    # one axis broadcast at a time — Mosaic has no simultaneous
+    # sublane+lane broadcast; in int8 mode the integer values stay < 2^24
+    # so the f32 accumulation is exact
+    ec = jnp.zeros((k, pb), jnp.float32) + edge_coef
+    eq = jnp.zeros((k, pb), jnp.float32) + edge_q
+    u = u + ec * eq
+    mag = jnp.sqrt(u * u + v * v)  # (K, PB)
+    if mag_scale is not None:
+        mag = mag * mag_scale  # |amp| * dft_scale, lane-aligned
+    d = mag - target_col
+    return jnp.sum(d * d, axis=0)[None, :]
+
+
+def _make_block_synth(
     p,  # (D, PB) f32 scaled params — lanes = candidates
-    dft_ref,  # FOLDED (2K, N/2) operand ref — bf16, or int8 when dft_scale>0
-    target_ref,  # (K, F) f32 ref
     tri,  # (C+8, C) f32 prefix matrix + ones row (loaded)
-    *scratches,  # two (N/2, PB) folded-audio scratches a+ / a-
-    #              (int8, or bf16 on hardware / f32 under interpret)
+    *,
     topology: str,
-    n: int,
     pb: int,
-    k: int,
     c: int,
     wts: float,
     w2sr: float,
-    num_frames: int = 1,
-    dft_scale: float = 0.0,
-    sine_order: int = 9,
+    dft_scale: float,
+    sine_order: int,
 ):
-    """Shared kernel body: synthesise one population block and return its
-    fitness row ``(1, PB)``. Used by both the evaluate-only kernel and the
-    full-generation kernel (kernels/generation.py).
+    """Per-topology synthesis of ONE time block as a pure step function.
 
-    The DFT runs FOLDED in BOTH dtypes (spectral.SpectrumOps docs): the
-    reference window satisfies w[N-n] = w[n], so the windowed spectrum is
-    two half-length transforms over the folded audio a+/- [n] = q[n] +-
-    q[N-n] plus an x[N/2] edge term (the n=0 column is zero since
-    w[0] = 0) — HALF the matmul FLOPs and operand bytes of the naive
-    (2K, N) form, and a k=N/2 contraction still runs the MXU near peak.
-    The time loop writes q directly into a+ rows for the first half-frame;
-    each second-half block is reversed by a one-hot (C, C) matmul and
-    read-modify-written into the aligned a+/a- row window one block late
-    (sample N-m for m in block b lands at rows [N-(b+1)C, N-bC) and needs
-    the NEXT block's first sample, carried in a register).
+    Returns ``(block_synth, offs0, mag_scale)``:
 
-    ``dft_scale > 0`` selects the INT8 engine (v5e int8 MXU rate is 2x bf16
-    and the big VMEM buffers halve again): the single output amplitude of
-    fm2/fm3_series is factored out of the audio (magnitudes are linear in
-    it), the final oscillator emits 63*sin via scaled polynomial
-    coefficients (q = round(63*unit_audio) keeps |a+/-| <= 126 in int8),
-    both (K, N/2) matmuls accumulate EXACTLY in int32 against the quantised
-    SpectrumOps.dft_packed halves (and < 2^24, so the f32 casts are exact
-    too), and the magnitude is rescaled by |amp| * dft_scale per candidate.
-    In bf16 mode q is the bf16-rounded audio, the fold sums round once more
-    (mimicked exactly under interpret), and window+norm stay folded in the
-    operand with the edge coefficient 2*norm*(-1)^k applied in-kernel. For
-    fm3_parallel (three summed amplitudes) the factored scalar is
-    s = mean_j |amp_j|: each pair's output is scaled by amp_j * 63/(3s) at
-    runtime (a multiply the bf16 path pays anyway), which bounds the
-    normalised sum to |.| <= 63; the magnitude rescale is s * dft_scale.
+    - ``block_synth(offs) -> (out (C, PB) f32, new_offs)`` advances every
+      oscillator chain by C samples from the phase-offset carries ``offs``
+      (a flat tuple of (1, PB) f32 rows, initial value ``offs0``);
+    - ``mag_scale`` is the int8 engine's per-candidate magnitude rescale
+      row (None in bf16 mode).
 
-    Passing ``dft_ref=None`` selects EMIT-ONLY mode (kernels/synth_fold.py,
-    the large-frame hybrid): the folded a+/a- land in ``scratches`` (which
-    are then output refs, not scratch) and the function returns
-    ``(edge_q (1, PB), mag_scale (1, PB) or None)`` instead of the fitness —
-    the DFT + fitness run in XLA outside, where the (2K, N/2) matmul has no
-    VMEM budget. Requires ``num_frames == 1``.
+    The single definition of the synthesis numerics, shared by the
+    fully-unrolled time loop (_evaluate_block — fastest at the bench frame
+    sizes) and the in-kernel fori_loop variant (_synth_emit_looped — keeps
+    Mosaic compile time flat for large n).
+
+    Everything runs in TURNS (phase / wavetable_size): the wrap "mod wts"
+    becomes frac(x) = x - floor(x) (no division), and the oscillator is a
+    9th-order odd polynomial on [-0.5, 0.5] turns (see _sin_turns).
+    Raw (un-frac'd) phases are fed straight to osc(): its round-based range
+    reduction subsumes frac, and the prefix-sum magnitudes stay < ~90
+    (per-sample increments < (fmax*imax+imax)/sr ~ 0.64, C=128 per block),
+    where f32 still resolves 5e-6 turns — far below the bf16 audio
+    quantisation. Saves two VPU passes per oscillator chain per block.
     """
-    # Everything runs in TURNS (phase / wavetable_size): the wrap "mod wts"
-    # becomes frac(x) = x - floor(x) (no division), and the oscillator is a
-    # 9th-order odd polynomial on [-0.5, 0.5] turns (see _sin_turns).
-    # Raw (un-frac'd) phases are fed straight to osc(): its round-based range
-    # reduction subsumes frac, and the prefix-sum magnitudes stay < ~90
-    # (per-sample increments < (fmax*imax+imax)/sr ~ 0.64, C=128 per block),
-    # where f32 still resolves 5e-6 turns — far below the bf16 audio
-    # quantisation. Saves two VPU passes per oscillator chain per block.
     inv_sr = jnp.float32(w2sr / wts)  # = 1 / sample_rate
-    nb = n // c
     int8_mode = dft_scale > 0.0
-    if nb % 2:
-        raise ValueError(
-            f"the folded DFT engine needs an even block count: n={n}, C={c}"
-        )
-    a_plus, a_minus = scratches
-    nhb = nb // 2
 
     def frac(x):
         return x - jnp.floor(x)
@@ -232,20 +239,15 @@ def _evaluate_block(
         m_out = row(2 * kn - 2) * row(2 * kn - 1)
         inc1 = frac(inv_sr * row(1))
         inc_blk = frac(jnp.float32(c) * inc1)
-        offs = [zeros() for _ in range(kn)]
         pairs = None
     else:
         raise NotImplementedError(topology)
 
-    if pairs is not None:
-        incs_blk = [frac(jnp.float32(c) * inc) for (_, _, _, inc) in pairs]
-        offs1 = [zeros() for _ in pairs]
-        offs2 = [zeros() for _ in pairs]
-
     multi_pair = pairs is not None and len(pairs) > 1
+    gains = None
     if int8_mode:
         # the factored-out output amplitude, rescaled into the magnitude
-        # spectrum after the exact int32 matmul (see docstring)
+        # spectrum after the exact int32 matmul (see _evaluate_block)
         if pairs is None:  # serial chain: single output amplitude
             amp_row = jnp.abs(m_out)  # (1, PB)
         elif multi_pair:
@@ -261,6 +263,123 @@ def _evaluate_block(
         else:
             amp_row = jnp.abs(pairs[0][2])
         mag_scale = amp_row * jnp.float32(dft_scale)  # (1, PB)
+    else:
+        mag_scale = None
+
+    if pairs is None:  # serial chain
+
+        def block_synth(offs):
+            new = list(offs)
+            pos = t_block * inc1 + new[0]  # (C, PB) raw turns
+            for j in range(kn - 1):
+                x = osc(pos) * ims[j] + ics[j]  # = inv_sr * cur_{j+1}
+                pre, tot = ex_prefix(x)
+                pos = pre + new[j + 1]
+                new[j + 1] = frac(new[j + 1] + tot)
+            out = osc_out(pos) if int8_mode else osc(pos) * m_out
+            new[0] = frac(new[0] + inc_blk)
+            return out, tuple(new)
+
+        offs0 = tuple(zeros() for _ in range(kn))
+    else:  # one or k independent 2-op pairs
+        npair = len(pairs)
+        incs_blk = [frac(jnp.float32(c) * inc) for (_, _, _, inc) in pairs]
+
+        def block_synth(offs):
+            o1 = list(offs[:npair])
+            o2 = list(offs[npair:])
+            out = None
+            for j, (im_, ic_, amp, inc) in enumerate(pairs):
+                pos1 = t_block * inc + o1[j]
+                x = osc(pos1) * im_ + ic_
+                pre, tot = ex_prefix(x)
+                pos2 = pre + o2[j]
+                if int8_mode and multi_pair:
+                    o = osc(pos2) * gains[j]  # gain folds 63, 1/3, amp_j/s
+                elif int8_mode:
+                    o = osc_out(pos2)
+                else:
+                    o = osc(pos2) * amp
+                out = o if out is None else out + o
+                o2[j] = frac(o2[j] + tot)
+                o1[j] = frac(o1[j] + incs_blk[j])
+            if multi_pair and not int8_mode:
+                out = out / jnp.float32(len(pairs))
+            return out, tuple(o1) + tuple(o2)
+
+        offs0 = tuple(zeros() for _ in range(2 * npair))
+    return block_synth, offs0, mag_scale
+
+
+def _evaluate_block(
+    p,  # (D, PB) f32 scaled params — lanes = candidates
+    dft_ref,  # FOLDED (2K, N/2) operand ref — bf16, or int8 when dft_scale>0
+    target_ref,  # (K, F) f32 ref
+    tri,  # (C+8, C) f32 prefix matrix + ones row (loaded)
+    *scratches,  # two (N/2, PB) folded-audio scratches a+ / a-
+    #              (int8, or bf16 on hardware / f32 under interpret)
+    topology: str,
+    n: int,
+    pb: int,
+    k: int,
+    c: int,
+    wts: float,
+    w2sr: float,
+    num_frames: int = 1,
+    dft_scale: float = 0.0,
+    sine_order: int = 9,
+):
+    """Shared kernel body: synthesise one population block and return its
+    fitness row ``(1, PB)``. Used by both the evaluate-only kernel and the
+    full-generation kernel (kernels/generation.py).
+
+    The DFT runs FOLDED in BOTH dtypes (spectral.SpectrumOps docs): the
+    reference window satisfies w[N-n] = w[n], so the windowed spectrum is
+    two half-length transforms over the folded audio a+/- [n] = q[n] +-
+    q[N-n] plus an x[N/2] edge term (the n=0 column is zero since
+    w[0] = 0) — HALF the matmul FLOPs and operand bytes of the naive
+    (2K, N) form, and a k=N/2 contraction still runs the MXU near peak.
+    The time loop writes q directly into a+ rows for the first half-frame;
+    each second-half block is reversed by a one-hot (C, C) matmul and
+    read-modify-written into the aligned a+/a- row window one block late
+    (sample N-m for m in block b lands at rows [N-(b+1)C, N-bC) and needs
+    the NEXT block's first sample, carried in a register).
+
+    ``dft_scale > 0`` selects the INT8 engine (v5e int8 MXU rate is 2x bf16
+    and the big VMEM buffers halve again): the single output amplitude of
+    fm2/fm3_series is factored out of the audio (magnitudes are linear in
+    it), the final oscillator emits 63*sin via scaled polynomial
+    coefficients (q = round(63*unit_audio) keeps |a+/-| <= 126 in int8),
+    both (K, N/2) matmuls accumulate EXACTLY in int32 against the quantised
+    SpectrumOps.dft_packed halves (and < 2^24, so the f32 casts are exact
+    too), and the magnitude is rescaled by |amp| * dft_scale per candidate.
+    In bf16 mode q is the bf16-rounded audio, the fold sums round once more
+    (mimicked exactly under interpret), and window+norm stay folded in the
+    operand with the edge coefficient 2*norm*(-1)^k applied in-kernel. For
+    fm3_parallel (three summed amplitudes) the factored scalar is
+    s = mean_j |amp_j|: each pair's output is scaled by amp_j * 63/(3s) at
+    runtime (a multiply the bf16 path pays anyway), which bounds the
+    normalised sum to |.| <= 63; the magnitude rescale is s * dft_scale.
+
+    Passing ``dft_ref=None`` selects EMIT-ONLY mode (kernels/synth_fold.py,
+    the large-frame hybrid): the folded a+/a- land in ``scratches`` (which
+    are then output refs, not scratch) and the function returns
+    ``(edge_q (1, PB), mag_scale (1, PB) or None)`` instead of the fitness —
+    the DFT + fitness run in XLA outside, where the (2K, N/2) matmul has no
+    VMEM budget. Requires ``num_frames == 1``.
+    """
+    nb = n // c
+    int8_mode = dft_scale > 0.0
+    if nb % 2:
+        raise ValueError(
+            f"the folded DFT engine needs an even block count: n={n}, C={c}"
+        )
+    a_plus, a_minus = scratches
+    nhb = nb // 2
+    block_synth, offs_state, mag_scale = _make_block_synth(
+        p, tri, topology=topology, pb=pb, c=c, wts=wts, w2sr=w2sr,
+        dft_scale=dft_scale, sine_order=sine_order,
+    )
 
     # Per-sample phase increments |w2sr*cur| < ~0.75*(fmax*imax+imax) stay far
     # below wts, and intra-block sums stay < C*0.64 in f32 to ~5e-6 turns, so
@@ -286,11 +405,7 @@ def _evaluate_block(
     i1 = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
     p_rev = ((i0 + i1) == c).astype(jnp.int8 if int8_mode else sdtype)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (c, pb), 0)
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-    edge_coef = (
-        jnp.float32(edge_norm)
-        - jnp.float32(2.0 * edge_norm) * (k_iota % 2).astype(jnp.float32)
-    )  # (K, 1)
+    edge_coef = _edge_coef(k, edge_norm)  # (K, 1)
     prev_q = None
     edge_q = None
 
@@ -316,33 +431,7 @@ def _evaluate_block(
 
     for b in range(nb * num_frames):
         bf = b % nb  # block index within the current frame
-        if pairs is None:  # serial chain
-            pos = t_block * inc1 + offs[0]  # (C, PB) raw turns
-            for j in range(kn - 1):
-                x = osc(pos) * ims[j] + ics[j]  # = inv_sr * cur_{j+1}
-                pre, tot = ex_prefix(x)
-                pos = pre + offs[j + 1]
-                offs[j + 1] = frac(offs[j + 1] + tot)
-            out = osc_out(pos) if int8_mode else osc(pos) * m_out
-            offs[0] = frac(offs[0] + inc_blk)
-        else:  # one or three independent 2-op pairs
-            out = None
-            for j, (im_, ic_, amp, inc) in enumerate(pairs):
-                pos1 = t_block * inc + offs1[j]
-                x = osc(pos1) * im_ + ic_
-                pre, tot = ex_prefix(x)
-                pos2 = pre + offs2[j]
-                if int8_mode and multi_pair:
-                    o = osc(pos2) * gains[j]  # gain folds 63, 1/3 and amp_j/s
-                elif int8_mode:
-                    o = osc_out(pos2)
-                else:
-                    o = osc(pos2) * amp
-                out = o if out is None else out + o
-                offs2[j] = frac(offs2[j] + tot)
-                offs1[j] = frac(offs1[j] + incs_blk[j])
-            if multi_pair and not int8_mode:
-                out = out / jnp.float32(len(pairs))
+        out, offs_state = block_synth(offs_state)
         # audio is QUANTISED in both modes — round(63*x) int8, or bf16 (the
         # scratch dtype is bf16 on hardware and f32 under plain interpret —
         # XLA:CPU has no bf16 dot kernel; a bf16 MXU matmul computes exact
@@ -369,25 +458,112 @@ def _evaluate_block(
             emit(0, prev_q, None)
             if dft_ref is None:  # EMIT-ONLY (see docstring): a+/a- are done
                 return edge_q, (mag_scale if int8_mode else None)
-            dft = dft_ref[:]  # (2K, N/2) int8/bf16 folded operand
-            u = jax.lax.dot_general(
-                dft[:k], a_plus[:], dn_std, preferred_element_type=adtype
-            ).astype(jnp.float32)
-            v = jax.lax.dot_general(
-                dft[k:], a_minus[:], dn_std, preferred_element_type=adtype
-            ).astype(jnp.float32)
-            # x[N/2] edge term (one axis broadcast at a time — Mosaic has
-            # no simultaneous sublane+lane broadcast); in int8 mode the
-            # integer values stay < 2^24 so the f32 accumulation is exact
-            ec = jnp.zeros((k, pb), jnp.float32) + edge_coef
-            eq = jnp.zeros((k, pb), jnp.float32) + edge_q
-            u = u + ec * eq
-            mag = jnp.sqrt(u * u + v * v)  # (K, PB)
-            if int8_mode:
-                mag = mag * mag_scale  # |amp| * dft_scale, lane-aligned
-            d = mag - target_ref[:, f : f + 1]  # frame target, lane-broadcast
-            fit = fit + jnp.sum(d * d, axis=0)[None, :]
+            u, v = _dft_uv(dft_ref[:], a_plus[:], a_minus[:], k, adtype)
+            fit = fit + _fit_epilogue(
+                u, v, edge_q, mag_scale if int8_mode else None,
+                target_ref[:, f : f + 1], edge_coef, k, pb,
+            )
     return fit
+
+
+def _synth_emit_looped(
+    p,  # (D, PB) f32 scaled params
+    tri,  # (C+8, C) f32 (loaded)
+    a_plus,  # (N/2, PB) output ref — folded a+
+    a_minus,  # (N/2, PB) output ref — folded a-
+    prevq_ref,  # (C, PB) scratch ref, dtype = the quantised audio's
+    *,
+    topology: str,
+    n: int,
+    pb: int,
+    c: int,
+    wts: float,
+    w2sr: float,
+    dft_scale: float = 0.0,
+    sine_order: int = 9,
+    num_frames: int = 1,
+    k: int = 8,  # unused (emit-only); accepted for statics compatibility
+):
+    """EMIT-ONLY synthesis + fold with an in-kernel ``lax.fori_loop`` over
+    time blocks — numerically identical to ``_evaluate_block``'s emit-only
+    mode (both call the single ``_make_block_synth`` step; the fold/emit
+    bookkeeping is the same code with traced offsets), but the Mosaic
+    program size is CONSTANT in ``n`` instead of linear.
+
+    The unrolled loop is what makes the large-frame hybrid's compile time
+    explode (>10 min at n=16384, nb=128 unrolled bodies); this variant
+    keeps it flat so the hybrid extends to arbitrary frame sizes
+    (kernels/synth_fold.py chooses it above n=8192). Single frame only.
+    Returns ``(edge_q (1, PB) f32, mag_scale (1, PB) or None)``.
+    """
+    if num_frames != 1:
+        raise ValueError("the looped emit path is single-frame only")
+    nb = n // c
+    if nb % 2:
+        raise ValueError(
+            f"the folded DFT engine needs an even block count: n={n}, C={c}"
+        )
+    nhb = nb // 2
+    int8_mode = dft_scale > 0.0
+    block_synth, offs0, mag_scale = _make_block_synth(
+        p, tri, topology=topology, pb=pb, c=c, wts=wts, w2sr=w2sr,
+        dft_scale=dft_scale, sine_order=sine_order,
+    )
+    sdtype = a_plus.dtype
+    adtype = jnp.int32 if int8_mode else jnp.float32
+    dn_std = (((1,), (0,)), ((), ()))
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    p_rev = ((i0 + i1) == c).astype(jnp.int8 if int8_mode else sdtype)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (c, pb), 0)
+
+    def fold_cast(x):  # see _evaluate_block: one rounding of the fold sum
+        return x.astype(jnp.int8 if int8_mode else jnp.bfloat16).astype(sdtype)
+
+    def emit(r0, prev_q, nxt):
+        asm = jax.lax.dot_general(
+            p_rev, prev_q, dn_std, preferred_element_type=adtype
+        )
+        if nxt is not None:
+            q0 = jnp.zeros((c, pb), adtype) + nxt[0:1, :].astype(adtype)
+            asm = jnp.where(row_iota == 0, q0, asm)
+        old = a_plus[pl.ds(r0, c), :].astype(adtype)
+        a_plus[pl.ds(r0, c), :] = fold_cast(old + asm)
+        a_minus[pl.ds(r0, c), :] = fold_cast(old - asm)
+
+    def body(bf, carry):
+        offs, edge_q = carry
+        out, offs = block_synth(offs)
+        if int8_mode:
+            q = jnp.round(out).astype(jnp.int8)
+        else:
+            q = out.astype(jnp.bfloat16).astype(sdtype)
+
+        @pl.when(bf < nhb)
+        def _first_half():
+            a_plus[pl.ds(bf * c, c), :] = q
+
+        edge_q = jnp.where(
+            bf == nhb, q[0:1, :].astype(jnp.float32), edge_q
+        )  # x[N/2]
+
+        @pl.when(bf > nhb)
+        def _delayed_emit():  # reads the PREVIOUS block (written below)
+            emit(n - bf * c, prevq_ref[:], q)
+
+        @pl.when(bf >= nhb)
+        def _carry_prev():
+            prevq_ref[:] = q
+
+        return offs, edge_q
+
+    _, edge_q = jax.lax.fori_loop(
+        0, nb, body, (offs0, jnp.zeros((1, pb), jnp.float32))
+    )
+    # final delayed block: rows [0, C); row 0 is n = 0 whose operand column
+    # is zero (w[0] = 0), so no next-sample carry is needed
+    emit(0, prevq_ref[:], None)
+    return edge_q, (mag_scale if int8_mode else None)
 
 
 def _kernel(

@@ -35,7 +35,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.wavetable import DEFAULT_SAMPLE_RATE, DEFAULT_WAVETABLE_SIZE
-from .synth_fitness import TIME_BLOCK, _evaluate_block, _tri_strict, resolve_pop_block
+from .synth_fitness import (
+    TIME_BLOCK,
+    _evaluate_block,
+    _synth_emit_looped,
+    _tri_strict,
+    resolve_pop_block,
+)
+
+# Above this frame size the time loop runs as an in-kernel fori_loop
+# (_synth_emit_looped): the fully-unrolled body's Mosaic compile time grows
+# linearly in nb = n/C (measured >10 min at n=16384) while the loop's is
+# flat; at n <= 8192 the unrolled form stays (marginally faster steady
+# state, already-validated compiles).
+LOOPED_ABOVE_N = 8192
 
 
 def fold_pop_block(pop: int, pop_block: int, n: int, int8_mode: bool) -> int:
@@ -47,10 +60,24 @@ def fold_pop_block(pop: int, pop_block: int, n: int, int8_mode: bool) -> int:
     definition shared with the strategy gate (_synth_fold_ok)."""
     pb = resolve_pop_block(pop, pop_block)
     bytes_per = 1 if int8_mode else 2
-    budget = (8 if n <= 8192 else 4) * (1 << 20)
+    budget = _fold_budget(n)
     while pb > 128 and 2 * (n // 2) * pb * bytes_per > budget:
         pb //= 2
     return pb
+
+
+def _fold_budget(n: int) -> int:
+    return (8 if n <= 8192 else 4) * (1 << 20)
+
+
+def fold_vmem_ok(pop: int, pop_block: int, n: int, int8_mode: bool) -> bool:
+    """Whether the (N/2, PB) output-block pair actually fits the budget at
+    the PB ``fold_pop_block`` settles on (PB stops halving at 128 — the
+    Mosaic lane tile — so huge-n/bf16 configs can end up over budget and
+    must fall back to the folded-XLA engine; strategy._synth_fold_ok)."""
+    pb = fold_pop_block(pop, pop_block, n, int8_mode)
+    bytes_per = 1 if int8_mode else 2
+    return 2 * (n // 2) * pb * bytes_per <= _fold_budget(n)
 
 
 def _fold_kernel(
@@ -59,13 +86,21 @@ def _fold_kernel(
     aplus_ref,  # (N/2, PB) out block — folded a+
     aminus_ref,  # (N/2, PB) out block — folded a-
     aux_ref,  # (8, PB) f32 out block: row 0 = x[N/2], row 1 = mag_scale
+    *scratches,  # looped mode only: (C, PB) prev-block carry
+    looped: bool,
     **statics,
 ):
     pb = statics["pb"]
-    edge_q, mag_scale = _evaluate_block(
-        params_ref[:], None, None, tri_ref[:], aplus_ref, aminus_ref,
-        **statics,
-    )
+    if looped:
+        edge_q, mag_scale = _synth_emit_looped(
+            params_ref[:], tri_ref[:], aplus_ref, aminus_ref, scratches[0],
+            **statics,
+        )
+    else:
+        edge_q, mag_scale = _evaluate_block(
+            params_ref[:], None, None, tri_ref[:], aplus_ref, aminus_ref,
+            **statics,
+        )
     if mag_scale is None:  # bf16 mode: no per-candidate rescale
         mag_scale = jnp.ones((1, pb), jnp.float32)
     aux_ref[:] = jnp.concatenate(
@@ -77,7 +112,7 @@ def _fold_kernel(
     jax.jit,
     static_argnames=(
         "topology", "n", "wavetable_size", "sample_rate", "pop_block",
-        "interpret", "time_block", "dft_scale", "sine_order",
+        "interpret", "time_block", "dft_scale", "sine_order", "looped",
     ),
 )
 def fused_synth_fold(
@@ -92,6 +127,7 @@ def fused_synth_fold(
     time_block: int = TIME_BLOCK,
     dft_scale: float = 0.0,
     sine_order: int = 9,
+    looped: bool | None = None,  # None = auto (n > LOOPED_ABOVE_N)
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Synthesise + fold the whole population; single frame only.
 
@@ -101,6 +137,8 @@ def fused_synth_fold(
     """
     pop, d = params_scaled.shape
     int8_mode = dft_scale > 0.0
+    if looped is None:
+        looped = n > LOOPED_ABOVE_N
     # the (N/2, PB) output blocks are the VMEM budget: PB shrinks for huge n
     pb = fold_pop_block(pop, pop_block, n, int8_mode)
     if n % (2 * time_block):
@@ -112,6 +150,7 @@ def fused_synth_fold(
     )
     kernel = functools.partial(
         _fold_kernel,
+        looped=looped,
         topology=topology,
         n=n,
         pb=pb,
@@ -148,6 +187,10 @@ def fused_synth_fold(
             pl.BlockSpec((n // 2, pb), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, pb), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=(
+            [pltpu.VMEM((time_block, pb), sdtype)] if looped else []
+        ),  # looped mode: the previous quantised block (register pressure
+        # would explode if carried through the fori_loop)
         interpret=interpret,
         **kwargs,
     )(params_t, tri)

@@ -278,3 +278,90 @@ class TestSynthFoldHybrid:
         tspec = spectral.target_spectrum(target_audio, so)
         fits = np.asarray(evaluate(genes, tspec, so, cfg))
         assert fits.argmin() == 17
+
+
+class TestSynthFoldLooped:
+    """The fori_loop time-loop variant (synth_fitness._synth_emit_looped):
+    same _make_block_synth step as the unrolled kernel, Mosaic program size
+    constant in n — extends the hybrid past n=8192 where the unrolled
+    body's compile time explodes. The two schedules differ by at most ONE
+    final-rounding step on borderline samples (loop-carried offsets block
+    the constant folding/fusion the unrolled form gets, flipping ties in
+    the last rounding), so equivalence is quantisation-step-bounded, not
+    bitwise."""
+
+    @pytest.mark.parametrize(
+        "topology,dims", [("fm3_series", 6), ("fm3_parallel", 12), ("fm2", 4)]
+    )
+    @pytest.mark.parametrize("dtype", [jnp.int8, jnp.bfloat16])
+    def test_matches_unrolled_within_quantisation(self, topology, dims, dtype):
+        from pmfm_tpu.kernels.synth_fold import fused_synth_fold
+
+        n, pop = 512, 128
+        rng = np.random.default_rng(7)
+        maxs = np.asarray([3520, 8] * (dims // 2), np.float32)
+        scaled = jnp.asarray(
+            rng.uniform(0.1, 0.9, (pop, dims)).astype(np.float32) * maxs
+        )
+        so = spectral.make_spectrum_ops(n, method="dft", dft_dtype=dtype)
+        kw = dict(topology=topology, n=n, pop_block=128, interpret=True,
+                  dft_scale=so.dft_packed_scale)
+        ap0, am0, e0, m0 = fused_synth_fold(scaled, **kw, looped=False)
+        ap1, am1, e1, m1 = fused_synth_fold(scaled, **kw, looped=True)
+        assert np.array_equal(np.asarray(m0), np.asarray(m1))  # setup-only
+        for a, b in ((ap0, ap1), (am0, am1)):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            differing = (a != b).mean()
+            assert differing < 0.01, f"{differing:.2%} of samples differ"
+            if dtype == jnp.int8:
+                assert np.abs(a - b).max() <= 1  # one quantisation step
+            else:
+                # one-two bf16 ulps AT THE AUDIO PEAK: fold sums can land
+                # near zero, so a per-element relative bound is wrong
+                atol = max(float(np.abs(a).max()), 1.0) / 128
+                assert np.abs(a - b).max() <= atol
+
+    def test_large_n_gate_and_ranking(self):
+        """n=16384 routes to the hybrid (looped) and a planted truth
+        candidate ranks first end-to-end; bf16 n=32768 falls back (the
+        (N/2, PB) block pair cannot fit the VMEM budget at PB=128)."""
+        from pmfm_tpu.es import ESConfig, make_spectrum_ops
+        from pmfm_tpu.es.strategy import _fused_ok, _synth_fold_ok, evaluate
+        from pmfm_tpu.ops import synthesize
+        from pmfm_tpu.ops.synthesis import scale_params
+
+        cfg = ESConfig(
+            num_parents=4, num_offspring=60, num_dimensions=6,
+            topology="fm3_series", audio_length_log2=14,
+            synthesis_engine="scanless", spectrum_method="dft",
+            dft_dtype="int8", fused_kernel=True, fused_generation=True,
+            pop_block=128,
+        )
+        so = make_spectrum_ops(cfg)
+        assert not _fused_ok(cfg, so)
+        assert _synth_fold_ok(cfg, so)
+        # at a real population the PB floor (128 lanes) binds: bf16 n=32768
+        # block pairs can't fit the budget -> folded-XLA fallback; int8 fits
+        big_bf16 = cfg.replace(
+            audio_length_log2=15, dft_dtype="bfloat16",
+            num_parents=32, num_offspring=992,
+        )
+        assert not _synth_fold_ok(big_bf16, make_spectrum_ops(big_bf16))
+        big_int8 = cfg.replace(
+            audio_length_log2=15, num_parents=32, num_offspring=992
+        )
+        assert _synth_fold_ok(big_int8, make_spectrum_ops(big_int8))
+
+        rng = np.random.default_rng(2)
+        genes = jnp.asarray(rng.uniform(0.1, 0.9, (64, 6)).astype(np.float32))
+        truth = genes[11]
+        mins = jnp.asarray(cfg.param_mins)
+        maxs = jnp.asarray(cfg.param_maxs)
+        target_audio = synthesize(
+            scale_params(truth[None], mins, maxs), cfg.n_samples,
+            cfg.topology, engine="scanless",
+        )[:, 0]
+        tspec = spectral.target_spectrum(target_audio, so)
+        fits = np.asarray(evaluate(genes, tspec, so, cfg))
+        assert fits.argmin() == 11
