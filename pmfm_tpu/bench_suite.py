@@ -223,6 +223,36 @@ def suite_optimizations(args, bm):
         bm.elapsed_timer(f"Opt_{name}")
 
 
+def suite_topologies(args, bm):
+    """Steady-state generation throughput for every model family through
+    the flagship engine path (folded int8 fused generation; fm{k}_parallel
+    factors the mean amplitude in-kernel). The README per-topology table's
+    source. Dims: 2 params per serial operator, 4 per parallel pair."""
+    from .ops.synthesis import parallel_pairs, series_ops
+
+    for topo in ("fm2", "fm3_series", "fm3_parallel", "fm4_series",
+                 "fm5_series", "fm4_parallel"):
+        if topo == "fm2":
+            d = 4
+        elif parallel_pairs(topo):
+            d = 4 * parallel_pairs(topo)
+        else:
+            d = 2 * series_ops(topo)
+        cfg = _base_cfg(
+            args,
+            topology=topo,
+            num_dimensions=d,
+            param_mins=(0.0,) * d,
+            param_maxs=tuple([3520.0, 8.0] * (d // 2)),
+        )
+        dt = _steady_time(_make_runner(cfg, args.gens))
+        name = f"Topology_{topo}"
+        bm.add_timer(name, dt * 1e3)
+        print(f"{name}: {dt*1e3:.1f}ms "
+              f"({cfg.population_size*args.gens/dt/1e6:.2f}M evals/s)")
+        bm.elapsed_timer(name)
+
+
 def suite_stft_frames(args, bm):
     """Multi-frame STFT fitness scaling (new capability, SURVEY.md §5.7):
     each candidate synthesises F*N continuous samples and sums framewise
@@ -267,6 +297,7 @@ SUITES = {
     "chunk_size": suite_chunk_size,
     "population": suite_population,
     "optimizations": suite_optimizations,
+    "topologies": suite_topologies,
     "stft_frames": suite_stft_frames,
 }
 

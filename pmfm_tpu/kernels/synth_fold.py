@@ -67,7 +67,13 @@ def fold_pop_block(pop: int, pop_block: int, n: int, int8_mode: bool) -> int:
 
 
 def _fold_budget(n: int) -> int:
-    return (8 if n <= 8192 else 4) * (1 << 20)
+    # Mosaic double-buffers blocked outputs, so scoped VMEM ~= 2x the block
+    # bytes + the kernel body's stack. 8 MB of blocks fit at n <= 4096;
+    # at n = 8192 the same 8 MB went 2.02 MB over the 16 MB scoped limit
+    # once the _make_block_synth refactor's register allocation grew the
+    # stack (hardware-measured 2026-08-21), so larger frames cap blocks at
+    # 4 MB (PB halves; throughput within a few % of the 8 MB setting).
+    return (8 if n <= 4096 else 4) * (1 << 20)
 
 
 def fold_vmem_ok(pop: int, pop_block: int, n: int, int8_mode: bool) -> bool:
