@@ -52,7 +52,15 @@ class ESConfig:
     # ALL generations in one kernel invocation (kernels/evolve.py) — opt-in
     # ablation: pre-fold it beat the per-generation scan by ~4.5%, but the
     # folded DFT flipped that (scan wins by ~4.6%, docs/KERNELS.md); the
-    # scan path additionally supports restarts, early stop and mesh sharding
+    # scan path additionally supports restarts, early stop and mesh sharding.
+    # WIN CONDITION for keeping this path (else delete it): the mega-kernel
+    # pays off iff per-generation dispatch+top_k overhead exceeds its ~4.6%
+    # deficit — i.e. if a future runtime raises the per-dispatch cost above
+    # ~40us (today ~1us + ~0.06ms select, tools/tpu_dispatch_probe.py), or
+    # the run moves to an environment where every dispatch crosses a slow
+    # host link (the axon dev-tunnel's ~25ms/run amortises away at
+    # GENS>=1000 and does not qualify). Re-measure with
+    # tools/tpu_mega_probe.py before flipping the bench default.
     fused_evolve: bool = False
     # fused_evolve only: generations folded into ONE grid step (the
     # per-grid-step VMEM/DMA base cost is paid once per gens_per_step
@@ -60,18 +68,9 @@ class ESConfig:
     # tools/tpu_gpg_probe.py). Rounded down to a divisor of the run length.
     gens_per_step: int = 1
     pop_block: int = 512  # candidates per fused-kernel program
-    # ABLATION (measured SLOWER — keep False): software-pipeline the
-    # fused-generation kernel, lagging the frame-end DFT matmuls one grid
-    # step behind synthesis (bit-identical results;
-    # kernels/generation.py _gen_kernel_pipelined). Hardware-measured
-    # 0.625 -> 0.732 ms/gen at the bench config (tools/tpu_pipeline_probe.py,
-    # 2026-08-20): the U/V stores still stall on the matmuls at in-order
-    # issue, so no MXU/VPU overlap is gained and the dynamic parity
-    # indexing + two flush steps cost ~17%. Mosaic's in-order execution
-    # model means cross-unit overlap cannot be scheduled manually — see
-    # docs/KERNELS.md. Auto-disabled when multi-frame or over the VMEM
-    # budget (strategy.pipeline_dft_ok).
-    pipeline_dft: bool = False
+    # (A software-pipelined "lagged DFT" kernel variant was built, measured
+    # 17% SLOWER — Mosaic's in-order issue forbids hand-scheduled MXU/VPU
+    # overlap — and removed in round 3; analysis in docs/KERNELS.md.)
     synthesis_engine: str = "scan"  # "scan" (reference parity) | "scanless" (fast)
     osc_mode: str = "floor"  # "floor" | "exact" | "table" (scan engine only)
     spectrum_method: str = "dft"  # "dft" | "rfft"

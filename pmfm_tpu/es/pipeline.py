@@ -29,8 +29,7 @@ import numpy as np
 from ..ops import spectral, synthesis
 from .config import ESConfig
 from .strategy import (
-    ESState, evaluate, init_state, mutate, pipeline_dft_ok, recombine,
-    select, select_t,
+    ESState, evaluate, init_state, mutate, recombine, select, select_t,
 )
 
 
@@ -107,7 +106,6 @@ def fused_generation_kwargs(cfg: ESConfig, spectrum_ops, *, pop=None, interpret=
         dft_packed=spectrum_ops.dft_packed,
         dft_scale=spectrum_ops.dft_packed_scale,
         sine_order=cfg.sine_order,
-        pipeline_dft=pipeline_dft_ok(cfg, spectrum_ops),
     )
 
 

@@ -230,14 +230,8 @@ def _fused_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
     )
 
 
-def _fused_vmem_bytes(
-    cfg: ESConfig, spectrum_ops: spectral.SpectrumOps, *, pipeline: bool = False
-) -> int:
-    """The fused kernels' VMEM-resident footprint estimate.
-
-    ``pipeline=True`` adds the software-pipelined generation kernel's extra
-    tenants (kernels/generation.py _gen_kernel_pipelined): the second a+/a-
-    parity buffer pair and the lagged (K, PB) U/V accumulators."""
+def _fused_vmem_bytes(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> int:
+    """The fused kernels' VMEM-resident footprint estimate."""
     n, k = cfg.n_samples, spectrum_ops.num_bins
     from ..kernels.synth_fitness import resolve_pop_block
 
@@ -247,9 +241,6 @@ def _fused_vmem_bytes(
     eb = 1 if int8_mode else 2  # element bytes of the folded operand/audio
     dft_bytes = 2 * k * (n // 2) * eb  # folded operand
     scratch_bytes = 2 * (n // 2) * pb * eb  # a+ / a-
-    if pipeline:
-        scratch_bytes *= 2  # parity double-buffering
-        scratch_bytes += 2 * k * pb * 4  # lagged U/V (int32 or f32)
     # params/target/tri/fitness, the generation kernel's (D, P) offspring
     # outputs, + double-buffering headroom
     other = (
@@ -265,19 +256,6 @@ def _fused_vmem_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
     budget (large frames fall back to the XLA engines instead of failing at
     compile — e.g. bf16 n=4096's (2K, N) operand alone is 32 MB)."""
     return _fused_vmem_bytes(cfg, spectrum_ops) <= 12 * (1 << 20)
-
-
-def pipeline_dft_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
-    """Whether the fused-generation kernel should run software-pipelined
-    (cfg.pipeline_dft): single-frame only (the lag machinery assumes one
-    DFT per block), and the extra parity/U-V buffers must still fit VMEM —
-    otherwise fall back to the serialised kernel rather than to XLA."""
-    return (
-        cfg.pipeline_dft
-        and cfg.num_frames == 1
-        and _fused_vmem_bytes(cfg, spectrum_ops, pipeline=True)
-        <= 12 * (1 << 20)
-    )
 
 
 def _synth_fold_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:

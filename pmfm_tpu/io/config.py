@@ -126,7 +126,6 @@ def parse_config(j: dict[str, Any]) -> RunConfig:
         fused_evolve=bool(tpu.get("fusedEvolve", False)),
         gens_per_step=int(tpu.get("gensPerStep", 1)),
         pop_block=int(tpu.get("popBlock", 512)),
-        pipeline_dft=bool(tpu.get("pipelineDft", False)),
         osc_mode=tpu.get("oscMode", "floor"),
         spectrum_method=tpu.get("spectrumMethod", "dft"),
         num_bins=tpu.get("numBins"),

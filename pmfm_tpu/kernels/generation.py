@@ -26,14 +26,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.wavetable import DEFAULT_SAMPLE_RATE, DEFAULT_WAVETABLE_SIZE
-from ..ops.spectral import window_factor
 from .synth_fitness import (
     DEFAULT_POP_BLOCK,
     TIME_BLOCK,
-    _dft_uv,
-    _edge_coef,
     _evaluate_block,
-    _fit_epilogue,
     _tri_strict,
     resolve_pop_block,
 )
@@ -283,106 +279,6 @@ def _gen_kernel(
     fitness_ref[pl.ds(i, 1), :] = fit
 
 
-def _gen_kernel_pipelined(
-    seed_ref,  # (1, 1) int32 SMEM
-    pv_ref,  # (D, MU) f32 parent values — or (D*L, G) hier operand
-    ps_ref,  # (D, MU) f32 parent steps — or (D*L, G) hier operand
-    dft_ref,  # (2K, N/2) folded operand (bf16 or int8)
-    target_ref,  # (K, 1) f32
-    tri_ref,  # (C+8, C) f32 (prefix rows + ones row)
-    fitness_ref,  # (G, PB) f32 out — full array
-    values_ref,  # (VR, PB) f32 out block, index map min(i, G-1)
-    steps_ref,  # (VR, PB) f32 out block
-    ap_buf,  # (2, N/2, PB) scratch — double-buffered folded a+
-    am_buf,  # (2, N/2, PB) scratch — double-buffered folded a-
-    u_s,  # (K, PB) adtype scratch — lagged DFT accumulators
-    v_s,  # (K, PB) adtype scratch
-    aux,  # (8, PB) f32 scratch: rows 0-1 edge_q by parity, 2-3 mag_scale
-    *,
-    mu: int,
-    d: int,
-    alpha: float,
-    beta: float,
-    beta_scale: float,
-    root_two_over_pi: float,
-    clamp_values: bool,
-    min_step: float,
-    hier: bool,
-    vr: int,
-    num_blocks: int,
-    **statics,
-):
-    """Software-pipelined variant of ``_gen_kernel`` (see ``pipeline_dft``):
-    the frame-end DFT matmuls of block i-1 are issued at grid step i, and
-    their VPU epilogue (edge term, magnitudes, L2) runs at step i+1 — so the
-    MXU contractions drain WHILE step i's VPU synthesis runs, instead of
-    serialising against their own epilogue inside one block. Bit-identical
-    to the unpipelined kernel (same per-block PRNG streams, same matmuls,
-    same f32 epilogue); grid is num_blocks + 2 to flush the two-stage lag.
-
-    Program i does, in order:
-      1. fitness epilogue of block i-2 (reads U/V written at step i-1 —
-         the matmuls have had a full synthesis block to complete);
-      2. DFT matmuls of block i-1 from the a+/a- parity buffer (i-1)%2
-         into the U/V scratches — no consumer until step i+1;
-      3. recombine + mutate + synthesise block i into parity buffer i%2
-         (VPU work the step-2 MXU contractions overlap with).
-    """
-    pb = statics["pb"]
-    k = statics["k"]
-    n = statics["n"]
-    int8_mode = statics["dft_scale"] > 0.0
-    adtype = jnp.int32 if int8_mode else jnp.float32
-    edge_norm = 127.0 if int8_mode else 2.0 / (n * window_factor(n))
-    ecoef = _edge_coef(k, edge_norm)
-    mins = statics.pop("mins")
-    maxs = statics.pop("maxs")
-
-    i = pl.program_id(0)
-    slot = jax.lax.rem(i, 2)
-    prev_slot = jax.lax.rem(i + 1, 2)
-
-    @pl.when(i >= 2)
-    def _epilogue():  # block i-2 (parity == slot)
-        eq = aux[pl.ds(slot, 1), :]
-        ms = aux[pl.ds(2 + slot, 1), :] if int8_mode else None
-        fit = _fit_epilogue(
-            u_s[:], v_s[:], eq, ms, target_ref[:, 0:1], ecoef, k, pb
-        )
-        fitness_ref[pl.ds(i - 2, 1), :] = fit
-
-    @pl.when((i >= 1) & (i <= num_blocks))
-    def _dft():  # block i-1: matmuls only, consumer is next step's epilogue
-        u, v = _dft_uv(dft_ref[:], ap_buf[prev_slot], am_buf[prev_slot], k, adtype)
-        u_s[:] = u
-        v_s[:] = v
-
-    @pl.when(i < num_blocks)
-    def _synth():  # block i
-        pltpu.prng_seed(seed_ref[0, 0] + i * 0x1E3779B9)
-        new_x, new_s = _offspring_block(
-            pv_ref[:], ps_ref[:],
-            mu=mu, d=d, pb=pb, alpha=alpha, beta=beta, beta_scale=beta_scale,
-            root_two_over_pi=root_two_over_pi, clamp_values=clamp_values,
-            min_step=min_step, hier=hier,
-        )
-        if vr > d:
-            pad = jnp.zeros((vr - d, pb), jnp.float32)
-            values_ref[:] = jnp.concatenate([new_x, pad], axis=0)
-            steps_ref[:] = jnp.concatenate([new_s, pad], axis=0)
-        else:
-            values_ref[:] = new_x
-            steps_ref[:] = new_s
-        p_scaled = _scale_rows(new_x, mins, maxs, d)
-        edge_q, mag_scale = _evaluate_block(
-            p_scaled, None, target_ref, tri_ref[:],
-            ap_buf.at[slot], am_buf.at[slot], **statics,
-        )
-        aux[pl.ds(slot, 1), :] = edge_q
-        if int8_mode:
-            aux[pl.ds(2 + slot, 1), :] = mag_scale
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -390,7 +286,6 @@ def _gen_kernel_pipelined(
         "interpret", "time_block", "num_frames", "alpha", "beta", "beta_scale",
         "root_two_over_pi", "clamp_values", "param_mins", "param_maxs",
         "min_step", "dft_scale", "sine_order", "gather_mode", "blocked_out",
-        "pipeline_dft",
     ),
 )
 def fused_generation(
@@ -423,7 +318,6 @@ def fused_generation(
     sine_order: int = 9,
     gather_mode: str = "auto",  # "auto" | "flat" (ablation: force flat)
     blocked_out: bool = True,  # ablation: full-array VMEM offspring outputs
-    pipeline_dft: bool = False,  # lag the DFT one grid step behind synthesis
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One whole generation's offspring + fitness.
 
@@ -471,7 +365,6 @@ def fused_generation(
     else:
         tgt = target_spectrum.astype(jnp.float32).T
     tri = jnp.asarray(_tri_strict(time_block))
-    pipe = pipeline_dft and num_frames == 1
     statics = dict(
         mu=mu,
         d=d,
@@ -497,12 +390,7 @@ def fused_generation(
         sine_order=sine_order,
     )
     nblk = pop // pb
-    if pipe:
-        kernel = functools.partial(
-            _gen_kernel_pipelined, num_blocks=nblk, **statics
-        )
-    else:
-        kernel = functools.partial(_gen_kernel, blocked_out=blocked_out, **statics)
+    kernel = functools.partial(_gen_kernel, blocked_out=blocked_out, **statics)
     kwargs = {}
     if interpret:
         # the TPU-flavoured interpreter accepts the pltpu PRNG primitives
@@ -513,9 +401,7 @@ def fused_generation(
         kwargs["interpret"] = pltpu.InterpretParams(random_seed=1234)
     else:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            # the pipelined kernel carries state across grid steps (parity
-            # buffers, lagged U/V) — its grid axis is NOT parallel
-            dimension_semantics=("arbitrary",) if pipe else ("parallel",),
+            dimension_semantics=("parallel",),
         )
     if hier:
         pv_in = hier_parent_operand(parent_values)
@@ -529,32 +415,15 @@ def fused_generation(
         if dft_scale > 0.0
         else (jnp.float32 if interpret else jnp.bfloat16)
     )
-    if pipe:
-        adtype = jnp.int32 if dft_scale > 0.0 else jnp.float32
-        # two flush steps: the last synth block's matmuls run at step nblk,
-        # its epilogue at step nblk+1; the offspring out-block index CLAMPS
-        # for the flush steps (same block revisited, untouched — Mosaic
-        # writes the resident buffer back unchanged)
-        grid = (nblk + 2,)
-        clamp = lambda i: (0, jnp.minimum(i, nblk - 1))  # noqa: E731
-        off_spec = pl.BlockSpec((vr, pb), clamp, memory_space=pltpu.VMEM)
-        scratch_shapes = [
-            pltpu.VMEM((2, n // 2, pb), sdtype),  # a+ parity buffers
-            pltpu.VMEM((2, n // 2, pb), sdtype),  # a- parity buffers
-            pltpu.VMEM((k, pb), adtype),  # lagged U
-            pltpu.VMEM((k, pb), adtype),  # lagged V
-            pltpu.VMEM((8, pb), jnp.float32),  # edge_q / mag_scale by parity
-        ]
-    else:
-        grid = (nblk,)
-        off_spec = pl.BlockSpec(
-            (vr, pb) if blocked_out else (vr, pop),
-            (lambda i: (0, i)) if blocked_out else full,
-            memory_space=pltpu.VMEM,
-        )
-        scratch_shapes = [  # folded a+ / a-
-            pltpu.VMEM((n // 2, pb), sdtype) for _ in range(2)
-        ]
+    grid = (nblk,)
+    off_spec = pl.BlockSpec(
+        (vr, pb) if blocked_out else (vr, pop),
+        (lambda i: (0, i)) if blocked_out else full,
+        memory_space=pltpu.VMEM,
+    )
+    scratch_shapes = [  # folded a+ / a-
+        pltpu.VMEM((n // 2, pb), sdtype) for _ in range(2)
+    ]
     fitness, values_t, steps_t = pl.pallas_call(
         kernel,
         out_shape=(

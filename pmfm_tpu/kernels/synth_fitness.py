@@ -112,9 +112,7 @@ def _edge_coef(k: int, edge_norm: float):
 
 def _dft_uv(dft, a_plus, a_minus, k: int, adtype):
     """The folded DFT's two half-length contractions: U = cos-half @ a+,
-    V = sin-half @ a- (int32-exact in int8 mode). Split from the epilogue so
-    the pipelined generation kernel (kernels/generation.py pipeline_dft) can
-    issue the matmuls one grid step before their VPU consumer."""
+    V = sin-half @ a- (int32-exact in int8 mode)."""
     u = jax.lax.dot_general(
         dft[:k], a_plus, _DN_STD, preferred_element_type=adtype
     )

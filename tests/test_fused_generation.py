@@ -155,65 +155,3 @@ class TestHardwareDistributions:
         assert not np.allclose(np.asarray(v1), np.asarray(v2))
 
 
-class TestPipelinedKernel:
-    """pipeline_dft: the software-pipelined kernel (DFT lagged one grid step
-    behind synthesis, kernels/generation.py _gen_kernel_pipelined) must be
-    BIT-IDENTICAL to the serialised kernel — same per-block PRNG streams,
-    same matmuls, same f32 epilogue, only the schedule differs."""
-
-    @pytest.mark.parametrize(
-        "dft_dtype,pop,pop_block",
-        [
-            ("int8", 4096, 1024),  # bench shape family (4 blocks)
-            ("int8", 1024, 1024),  # single block: grid is just the flush
-            ("int8", 3072, 1024),  # odd block count (parity wrap)
-            ("bfloat16", 2048, 512),
-        ],
-    )
-    def test_bit_identical_to_serialised(self, dft_dtype, pop, pop_block):
-        from pmfm_tpu.ops.spectral import make_spectrum_ops as mk_so
-
-        so = mk_so(1024, dft_dtype=jnp.dtype(dft_dtype))
-        mu, d = 64, 6
-        key = jax.random.PRNGKey(2)
-        pv = jax.random.uniform(key, (mu, d))
-        ps = jnp.full((mu, d), 0.1)
-        tgt = jnp.ones((so.num_bins,), jnp.float32)
-        kw = dict(
-            pop=pop, param_mins=(0.0,) * 6,
-            param_maxs=(3520.0, 8.0, 3520.0, 8.0, 3520.0, 8.0),
-            topology="fm3_series", n=1024, pop_block=pop_block,
-            interpret=ON_CPU, dft_packed=so.dft_packed,
-            dft_scale=so.dft_packed_scale,
-        )
-        f0, v0, s0 = fused_generation(
-            jnp.int32(7), pv, ps, so.dft_cos, so.dft_sin, tgt, **kw
-        )
-        f1, v1, s1 = fused_generation(
-            jnp.int32(7), pv, ps, so.dft_cos, so.dft_sin, tgt,
-            **kw, pipeline_dft=True,
-        )
-        assert jnp.array_equal(f0, f1), float(jnp.max(jnp.abs(f0 - f1)))
-        assert jnp.array_equal(v0, v1)
-        assert jnp.array_equal(s0, s1)
-
-    def test_gate(self):
-        """pipeline_dft_ok: single-frame only, and the extra parity/U-V
-        buffers must fit the VMEM budget."""
-        from pmfm_tpu.es.strategy import pipeline_dft_ok
-        from pmfm_tpu.es import make_spectrum_ops as mk
-
-        cfg = ESConfig(
-            num_parents=256, num_offspring=(1 << 15) - 256,
-            audio_length_log2=10, dft_dtype="int8", fused_generation=True,
-            pop_block=1024, pipeline_dft=True,
-        )
-        assert pipeline_dft_ok(cfg, mk(cfg))  # the bench shape is eligible
-        multi = cfg.replace(num_frames=4)
-        assert not pipeline_dft_ok(multi, mk(multi))  # multi-frame: off
-        # bf16 n=2048 at PB=1024: parity buffers + U/V blow the budget
-        big = cfg.replace(audio_length_log2=11, dft_dtype="bfloat16")
-        assert not pipeline_dft_ok(big, mk(big))
-        # default off (measured slower on hardware, ablation only)
-        assert not pipeline_dft_ok(cfg.replace(pipeline_dft=False), mk(cfg))
-        assert not ESConfig().pipeline_dft
