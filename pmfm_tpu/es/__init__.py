@@ -3,6 +3,7 @@ from .config import ESConfig
 from .pipeline import (
     ChunkResult,
     MatchResult,
+    Population,
     evolve,
     generation_step,
     make_spectrum_ops,
@@ -17,6 +18,7 @@ __all__ = [
     "ESConfig",
     "ESState",
     "MatchResult",
+    "Population",
     "evaluate",
     "evolve",
     "generation_step",

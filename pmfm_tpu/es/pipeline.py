@@ -109,16 +109,36 @@ def fused_generation_kwargs(cfg: ESConfig, spectrum_ops, *, pop=None, interpret=
     )
 
 
+class Population(NamedTuple):
+    """One generation's full evaluated offspring, sorted best-first — the
+    ``readPopulationData`` analog (Evolutionary_Strategy_OpenCL.hpp:417-430
+    returns the entire sorted population values/steps/fitness). The TPU
+    build keeps only the mu parents between generations (strategy.ESState
+    rationale), so this exists ONLY through the opt-in debug hook
+    ``evolve(..., return_population=True)``."""
+
+    values: jax.Array  # (P, D) in [0, 1]
+    steps: jax.Array  # (P, D)
+    fitness: jax.Array  # (P,) ascending (best first)
+
+
 def generation_step(
     state: ESState,
     target_spectrum: jax.Array,
     spectrum_ops: spectral.SpectrumOps,
     cfg: ESConfig,
-) -> ESState:
+    *,
+    want_population: bool = False,
+):
     """One fused ES generation. Order matches executeGeneration
     (Evolutionary_Strategy_OpenCL.hpp:471-541): recombine -> mutate ->
     evaluate(synth/window/fft/fitness) -> select. No rotation stage: the
-    ping-pong double-buffer is subsumed by functional updates."""
+    ping-pong double-buffer is subsumed by functional updates.
+
+    With ``want_population=True`` returns ``(new_state, Population)`` —
+    the generation's full evaluated offspring sorted best-first (debug
+    readback; adds a full-population argsort+gather, so keep it out of
+    hot loops). Otherwise returns just the new state."""
     from .strategy import _fused_ok
 
     # The in-kernel PRNG only exists on real TPUs (the interpreter draws
@@ -157,12 +177,21 @@ def generation_step(
         pv, ps, pf = select_t(
             values_t, steps_t, fitness, cfg.num_parents, cfg.num_dimensions
         )
+        if want_population:
+            d = cfg.num_dimensions
+            values, steps = values_t[:d].T, steps_t[:d].T
     else:
         key, k_rec, k_mut = jax.random.split(state.key, 3)
         values, steps = recombine(k_rec, state.parent_values, state.parent_steps, cfg)
         values, steps = mutate(k_mut, values, steps, cfg)
         fitness = evaluate(values, target_spectrum, spectrum_ops, cfg)
         pv, ps, pf = select(values, steps, fitness, cfg.num_parents)
+    population = None
+    if want_population:
+        order = jnp.argsort(fitness)
+        population = Population(
+            values=values[order], steps=steps[order], fitness=fitness[order]
+        )
     improved = pf[0] < state.best_fitness
     stall = jnp.where(improved, 0, state.stall + 1).astype(jnp.int32)
     if cfg.restart_patience > 0:
@@ -174,7 +203,7 @@ def generation_step(
         ps = jnp.where(restart, jnp.full_like(ps, 0.1), ps)
         pf = jnp.where(restart, jnp.full_like(pf, jnp.inf), pf)
         stall = jnp.where(restart, 0, stall)
-    return ESState(
+    new_state = ESState(
         parent_values=pv,
         parent_steps=ps,
         parent_fitness=pf,
@@ -184,6 +213,9 @@ def generation_step(
         generation=state.generation + 1,
         stall=stall,
     )
+    if want_population:
+        return new_state, population
+    return new_state
 
 
 def _fused_evolve_ok(cfg: ESConfig, spectrum_ops) -> bool:
@@ -283,6 +315,7 @@ def evolve(
     spectrum_ops: spectral.SpectrumOps,
     cfg: ESConfig,
     record_trajectory: bool = False,
+    return_population: bool = False,
 ):
     """Run ``num_generations`` generations in one ``lax.scan``
     (executeAllGenerations, Evolutionary_Strategy_OpenCL.hpp:542-554).
@@ -294,7 +327,46 @@ def evolve(
 
     Returns ``(final_state, trajectory)`` where trajectory is
     ``(best_fitness_per_gen,)`` or ``None``.
+
+    ``return_population=True`` (debug readback, the ``readPopulationData``
+    analog — Evolutionary_Strategy_OpenCL.hpp:417-430) appends a third
+    element: the LAST generation's full evaluated offspring as a
+    ``Population`` (values/steps/fitness sorted best-first). It threads the
+    population through the scan carry, so it costs O(P*D) carry bytes plus
+    one argsort+gather per generation; single-chip scan path only (the
+    mega-kernel ablation and the early-stop while_loop don't support it).
     """
+    if return_population:
+        if _fused_evolve_ok(cfg, spectrum_ops):
+            raise ValueError(
+                "return_population is not supported with fused_evolve "
+                "(the mega-kernel keeps offspring in VMEM scratch)"
+            )
+        if cfg.fitness_threshold > 0.0 and not record_trajectory:
+            raise ValueError(
+                "return_population requires a static-length run "
+                "(disable fitness_threshold early stop)"
+            )
+        if num_generations == 0:
+            raise ValueError("return_population needs num_generations >= 1")
+
+        def body_pop(carry, _):
+            s, _pop = carry
+            s, pop = generation_step(
+                s, target_spectrum, spectrum_ops, cfg, want_population=True
+            )
+            return (s, pop), (s.best_fitness if record_trajectory else None)
+
+        p, d = cfg.population_size, cfg.num_dimensions
+        dummy = Population(
+            values=jnp.zeros((p, d), jnp.float32),
+            steps=jnp.zeros((p, d), jnp.float32),
+            fitness=jnp.full((p,), jnp.inf, jnp.float32),
+        )
+        (final, pop), traj = jax.lax.scan(
+            body_pop, (state, dummy), None, length=num_generations
+        )
+        return final, (traj if record_trajectory else None), pop
     if _fused_evolve_ok(cfg, spectrum_ops):
         return _evolve_mega(
             state, target_spectrum, num_generations, spectrum_ops, cfg,

@@ -127,6 +127,44 @@ class TestGenerationStep:
             float(s_scan.best_fitness), float(s_loop.best_fitness), rtol=1e-6
         )
 
+    def test_population_readback(self):
+        """The readPopulationData analog (VERDICT r2 missing #3): evolve
+        with return_population=True exposes the last generation's full
+        evaluated offspring, sorted best-first, consistent with the
+        selected parents."""
+        cfg = CFG2
+        so = make_spectrum_ops(cfg)
+        tspec = jnp.ones((so.num_bins,), jnp.float32)
+        s0 = init_state(jax.random.PRNGKey(11), cfg)
+        final, _, pop = evolve(s0, tspec, 4, so, cfg, return_population=True)
+        p, d = cfg.population_size, cfg.num_dimensions
+        assert pop.values.shape == (p, d)
+        assert pop.steps.shape == (p, d)
+        assert pop.fitness.shape == (p,)
+        f = np.asarray(pop.fitness)
+        assert np.all(np.diff(f) >= 0)  # sorted best-first
+        # the mu best offspring of the last generation ARE the final parents
+        mu = cfg.num_parents
+        np.testing.assert_allclose(
+            np.asarray(pop.values[:mu]), np.asarray(final.parent_values),
+            rtol=0, atol=0,
+        )
+        np.testing.assert_allclose(
+            f[:mu], np.asarray(final.parent_fitness), rtol=0, atol=0
+        )
+        # the hook must not perturb the evolve itself
+        final_plain, _ = evolve(s0, tspec, 4, so, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(final_plain.parent_values),
+            np.asarray(final.parent_values),
+        )
+        # unsupported combinations raise
+        with pytest.raises(ValueError):
+            evolve(s0, tspec, 4, so, cfg.replace(fitness_threshold=1.0),
+                   return_population=True)
+        with pytest.raises(ValueError):
+            evolve(s0, tspec, 0, so, cfg, return_population=True)
+
     def test_early_stop_threshold(self):
         cfg = CFG2.replace(fitness_threshold=1e30)  # everything passes
         so = make_spectrum_ops(cfg)
