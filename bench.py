@@ -135,13 +135,26 @@ def _generations_to_converge():
     try:
         with open(path) as f:
             data = json.load(f)
-        gtc = data["results"]["int8+sin7"]["generations_to_converge"]
-        return {
-            "median_gens": gtc["median_gens"],
-            "threshold_f32_rescored": gtc["threshold_f32_rescored"],
-            "frac_converged": gtc["frac_converged"],
-            "seeds": data["meta"]["seeds"],
-        }
+        # prefer the HELD-OUT seed block (disjoint from any tuning seeds,
+        # VERDICT r2 #1); per-threshold medians at 10-generation resolution
+        # (VERDICT r2 #2 — the old single 150k threshold saturated in the
+        # first 50-gen segment and could not distinguish engines)
+        for split in ("holdout", "train"):
+            blk = data.get("splits", {}).get(split)
+            if blk and "int8+sin7" in blk.get("results", {}):
+                gtc = blk["results"]["int8+sin7"]["generations_to_converge"]
+                return {
+                    "split": split,
+                    "seeds": blk["seeds"],
+                    "per_threshold": {
+                        t: {
+                            "median_gens": v.get("median_gens"),
+                            "frac_converged": v["frac_converged"],
+                        }
+                        for t, v in gtc.items()
+                    },
+                }
+        return None
     except Exception:
         return None
 

@@ -162,16 +162,46 @@ def suite_stages(args, bm):
 
 
 def suite_chunk_size(args, bm):
-    # 2^9..2^12 run the fused Pallas engines; 2^13..2^15 are VMEM-gated onto
-    # the folded XLA large-frame engine (spectral.magnitude_spectrum_folded)
-    for log2 in (9, 10, 11, 12, 13, 14, 15):
-        cfg = _base_cfg(args, audio_length_log2=log2)
-        gens = args.gens if log2 <= 12 else max(5, args.gens // 5)
+    """AudioAnalysisChunkSize sweep, 2^9..2^16, engine-annotated rows.
+
+    The engine gates auto-degrade with n (strategy.active_engine):
+    fused Pallas kernels while the folded operand fits VMEM, then the
+    synth_fold hybrid (Pallas synthesis+fold, XLA DFT) to n=32768, then
+    XLA rfft (the O(N^2) DFT operand exceeds HBM past
+    spectral.DFT_MAX_MATERIALIZE_N). 2^13..2^15 add an `rfft` comparison
+    row — the whole-generation dft-vs-rfft crossover
+    (spectrum-only crossover: tools/tpu_spectrum_probe.py). 2^16 shrinks
+    the population (annotated) to keep the audio + spectra in HBM —
+    reference analog: parameters.json:13 accepts arbitrary
+    audioLengthLog2 at its default pop 32."""
+    from .es import make_spectrum_ops
+    from .es.strategy import active_engine
+
+    def row(log2, name, **over):
+        pop_l2 = 13 if log2 >= 16 else 15
+        over.setdefault("num_parents", args.parents)
+        over.setdefault("num_offspring", (1 << pop_l2) - args.parents)
+        cfg = _base_cfg(args, audio_length_log2=log2, **over)
+        gens = args.gens if log2 <= 12 else max(5, args.gens // 10)
+        eng = active_engine(cfg, make_spectrum_ops(cfg))
+        if pop_l2 != 15:
+            eng += f",pop=2^{pop_l2}"
         dt = _steady_time(_make_runner(cfg, gens))
-        name = f"AudioAnalysisChunkSize_{1<<log2}"
+        name = f"{name}_{1<<log2}[{eng}]"
         bm.add_timer(name, dt * 1e3)
-        print(f"{name}: {dt*1e3:.1f}ms ({cfg.population_size*gens/dt/1e6:.2f}M evals/s)")
+        print(f"{name}: {dt*1e3:.1f}ms "
+              f"({cfg.population_size*gens/dt/1e6:.2f}M evals/s)")
         bm.elapsed_timer(name)
+
+    for log2 in (9, 10, 11, 12, 13, 14, 15, 16):
+        row(log2, "AudioAnalysisChunkSize")
+    for log2 in (13, 14, 15):  # whole-generation rfft comparison
+        try:
+            row(log2, "AudioAnalysisChunkSize", spectrum_method="rfft",
+                fused_kernel=False, fused_generation=False)
+        except Exception as e:  # rfft at 2^15/pop 2^15 may exceed HBM
+            print(f"AudioAnalysisChunkSize_{1<<log2}[rfft]: SKIP ({e})",
+                  flush=True)
 
 
 def suite_population(args, bm):

@@ -302,6 +302,30 @@ def _final_pop_block_ok(cfg: ESConfig) -> bool:
     return pb % 128 == 0 or pb == pop
 
 
+def active_engine(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> str:
+    """Which evaluation engine ``evaluate`` dispatches to for this (cfg,
+    spectrum_ops) pair — bench/report annotation (the gates auto-degrade
+    silently by design, so benchmarks must label what actually ran):
+
+      fused_generation / fused_kernel — fully-fused Pallas (synth+DFT+fit)
+      synth_fold — large-frame hybrid (Pallas synth+fold, XLA folded DFT)
+      xla_folded_dft — XLA synthesis + folded bf16/int8-family DFT matmul
+      xla_dft / xla_rfft — plain XLA spectrum paths
+    """
+    if _fused_ok(cfg, spectrum_ops):
+        return "fused_generation" if cfg.fused_generation else "fused_kernel"
+    if _synth_fold_ok(cfg, spectrum_ops):
+        return "synth_fold"
+    if (
+        cfg.num_frames == 1
+        and cfg.spectrum_method == "dft"
+        and spectrum_ops.dft_packed is not None
+        and cfg.dft_dtype in ("bfloat16", "int8")
+    ):
+        return "xla_folded_dft"
+    return f"xla_{spectrum_ops.method}"
+
+
 def evaluate(
     values: jax.Array,
     target_spectrum: jax.Array,

@@ -47,6 +47,14 @@ SPECTRUM_METHODS = ("rfft", "dft", "auto")
 # the O(N^2) term wins out for long transforms.
 AUTO_DFT_MAX_N = 4096
 
+# Hard ceiling for materialising the DFT-as-matmul operands, even when
+# "dft" is requested explicitly: the (N, K)+(2K, N/2) operand set is
+# O(N^2) bytes (n=32768 ~ 2.7 GB on-device; n=65536 would be ~11 GB,
+# over the v5e HBM budget before any audio exists). Above this the
+# request silently degrades to "rfft" — same contract as the int8
+# engine's documented bf16 degradation on unsupported paths.
+DFT_MAX_MATERIALIZE_N = 32768
+
 
 def hann_window(n: int) -> np.ndarray:
     """Reference window, float64: Evolutionary_Strategy.hpp:310-314."""
@@ -113,6 +121,8 @@ def make_spectrum_ops(
         raise ValueError(f"method must be one of {SPECTRUM_METHODS}")
     if method == "auto":
         method = "dft" if n <= AUTO_DFT_MAX_N else "rfft"
+    if method == "dft" and n > DFT_MAX_MATERIALIZE_N:
+        method = "rfft"  # O(N^2) operands exceed HBM (see the constant)
     if num_bins is None:
         num_bins = default_num_bins(n)
     w = hann_window(n)

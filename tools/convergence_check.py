@@ -73,6 +73,16 @@ VARIANTS = {
     "int8+sin7+refine": dict(dft_dtype="int8", fused_kernel=True,
                              fused_generation=True, sine_order=7,
                              refine_generations=100),
+    # the SHIPPED example config (examples/params_match.json "tpu" block):
+    # int8 fused engine + the quality-first knobs — neutral-drift step
+    # adaptation, step floor, stall-triggered restarts, f32 refine tail.
+    # VERDICT r2 weak #3: its superiority was asserted from a separate
+    # study; this rung puts it in the paired gate (target: frac_converged
+    # >= 0.95 at 1000 gens without median regression vs plain f32).
+    "shipped": dict(dft_dtype="int8", fused_kernel=True,
+                    fused_generation=True, mutation_noise="clt12_neutral",
+                    min_step=1e-4, restart_patience=100,
+                    refine_generations=100),
 }
 # sine-order sweep aliases (same configs, shorter names)
 VARIANTS["sin9"] = VARIANTS["int8"]
@@ -156,7 +166,6 @@ def gens_to_converge(rescored: np.ndarray, boundaries, threshold: float):
     converged = hit.any(axis=1)
     out = {
         "threshold_f32_rescored": float(threshold),
-        "boundaries_gens": [int(b) for b in boundaries],
         "frac_converged": float(np.mean(converged)),
         "gens": [int(g) if c else None for g, c in zip(gens, converged)],
     }
@@ -173,13 +182,30 @@ def main(argv=None) -> int:
                     default=["f32", "bf16-fused", "int8", "int8+sin7"],
                     choices=list(VARIANTS))
     ap.add_argument("--seeds", type=int, default=64)
+    ap.add_argument("--seed-offset", type=int, default=0,
+                    help="first PRNGKey index — held-out audits use a "
+                         "DISJOINT block (e.g. --seed-offset 64) from the "
+                         "train block any config was tuned on "
+                         "(VERDICT r2 weak #1)")
+    ap.add_argument("--split", default=None,
+                    help="name this seed block in the JSON artifact "
+                         "(default: 'train' at offset 0, 'holdout' "
+                         "otherwise); --json merges splits")
     ap.add_argument("--gens", type=int, default=1000)
-    ap.add_argument("--segment-gens", type=int, default=50,
+    ap.add_argument("--segment-gens", type=int, default=10,
                     help="rescore the best candidate every this many "
-                         "generations (generations-to-converge resolution)")
-    ap.add_argument("--threshold", type=float, default=150000.0,
-                    help="f32-rescored fitness defining 'converged' "
-                         "(just above the f32 median final at bench scale)")
+                         "generations (generations-to-converge resolution; "
+                         "was 50 in round 2, which saturated — every "
+                         "converging seed reported the first boundary)")
+    ap.add_argument("--thresholds", type=float, nargs="+",
+                    default=[150000.0, 40000.0, 15000.0],
+                    help="f32-rescored fitness levels defining 'converged'. "
+                         "150k = legacy (just above the f32 median final; "
+                         "~80%% of seeds reach it, in the first segments); "
+                         "40k ~= the f32 median final (reached by ~half of "
+                         "f32 seeds but only ~1/3 of quantised-engine "
+                         "seeds — the discriminative level); 15k = deep "
+                         "(10x stricter than legacy, tail-only)")
     ap.add_argument("--pop-log2", type=int, default=15)
     ap.add_argument("--mu", type=int, default=256)
     ap.add_argument("--mutation-noise", default="clt12",
@@ -187,6 +213,7 @@ def main(argv=None) -> int:
                          "(quality-first configs)")
     ap.add_argument("--json", default=None, help="write results JSON here")
     args = ap.parse_args(argv)
+    split = args.split or ("train" if args.seed_offset == 0 else "holdout")
 
     pop = 1 << args.pop_log2
     base = ESConfig(
@@ -219,12 +246,14 @@ def main(argv=None) -> int:
         )
         cfg1 = cfg.replace(refine_generations=0)
         n1 = max(1, (args.gens - refine) // args.segment_gens)
-        boundaries = [args.segment_gens * (i + 1) for i in range(n1)]
-        if refine:
+        n2 = refine // args.segment_gens  # refine phase, same resolution
+        boundaries = [args.segment_gens * (i + 1) for i in range(n1 + n2)]
+        if refine and boundaries[-1] < args.gens:
             boundaries.append(args.gens)
 
         @jax.jit
-        def run(key, cfg1=cfg1, so=so, tspec=tspec, refine=refine, n1=n1):
+        def run(key, cfg1=cfg1, so=so, tspec=tspec, refine=refine, n1=n1,
+                n2=n2):
             state = init_state(key, cfg1)
 
             def seg(s, _):
@@ -241,13 +270,23 @@ def main(argv=None) -> int:
                 if cfg1.refine_step_floor > 0.0:
                     ps = jnp.maximum(ps, jnp.float32(cfg1.refine_step_floor))
                 final = final._replace(best_fitness=bf, parent_steps=ps)
-                final, _ = evolve(final, tspec_r, refine, so_r, cfg_r)
-                bvs = jnp.concatenate([bvs, final.best_values[None]])
+
+                def seg_r(s, _):
+                    s2, _ = evolve(s, tspec_r, args.segment_gens, so_r, cfg_r)
+                    return s2, s2.best_values
+
+                final, bvs_r = jax.lax.scan(seg_r, final, None, length=n2)
+                parts = [bvs, bvs_r]
+                tail = refine - n2 * args.segment_gens
+                if tail:
+                    final, _ = evolve(final, tspec_r, tail, so_r, cfg_r)
+                    parts.append(final.best_values[None])
+                bvs = jnp.concatenate(parts)
             return final.best_values, bvs  # (D,), (len(boundaries), D)
 
         finals, trajs = [], []
         t0 = time.time()
-        for s in range(args.seeds):
+        for s in range(args.seed_offset, args.seed_offset + args.seeds):
             bv, bvs = run(jax.random.PRNGKey(s))
             finals.append(np.asarray(bv))
             trajs.append(np.asarray(bvs))
@@ -266,19 +305,48 @@ def main(argv=None) -> int:
             "min": float(fits.min()),
             "max": float(fits.max()),
             "fits": fits.tolist(),
-            "generations_to_converge": gens_to_converge(
-                seg_fits, boundaries, args.threshold
-            ),
+            "boundaries_gens": [int(b) for b in boundaries],
+            "generations_to_converge": {
+                str(int(t)): gens_to_converge(seg_fits, boundaries, t)
+                for t in args.thresholds
+            },
         }
-        gtc = results[name]["generations_to_converge"]
+        gtc_str = "  ".join(
+            "gens-to-%dk: median=%s (%.0f%%)"
+            % (int(t) // 1000,
+               results[name]["generations_to_converge"][str(int(t))].get(
+                   "median_gens"),
+               100 * results[name]["generations_to_converge"][str(int(t))][
+                   "frac_converged"])
+            for t in args.thresholds
+        )
         print(
-            "%-12s median=%.1f mean=%.1f [%.1f, %.1f]  gens-to-%.0f: "
-            "median=%s (%.0f%% converged)  (%d seeds, %.1fs; f32-rescored)"
+            "%-16s median=%.1f mean=%.1f [%.1f, %.1f]  %s  (%d seeds @%d, "
+            "%.1fs; f32-rescored)"
             % (name, np.median(fits), fits.mean(), fits.min(), fits.max(),
-               args.threshold, gtc.get("median_gens"),
-               100 * gtc["frac_converged"], args.seeds, time.time() - t0),
+               gtc_str, args.seeds, args.seed_offset, time.time() - t0),
             flush=True,
         )
+
+    # merge previously-run variants of the SAME split (same seed block) in
+    # before the paired stats, so incremental runs (e.g. adding one rung
+    # later) still pair against the stored f32 baseline
+    doc = {"meta": {}, "splits": {}}
+    if args.json:
+        try:
+            with open(args.json) as f:
+                loaded = json.load(f)
+            if "splits" in loaded:
+                doc = loaded
+        except (OSError, json.JSONDecodeError):
+            pass
+        existing = doc["splits"].get(split, {})
+        if (
+            existing.get("seed_offset") == args.seed_offset
+            and existing.get("seeds") == args.seeds
+        ):
+            for k, v in existing.get("results", {}).items():
+                results.setdefault(k, v)
 
     if "f32" in results:
         base_fits = np.asarray(results["f32"]["fits"])
@@ -294,7 +362,7 @@ def main(argv=None) -> int:
                       if st["median_ratio"] < 1.0 else "FAIL")
             )
             print(
-                "%-12s vs f32: median ratio=%.3f CI95=[%.3f, %.3f] "
+                "%-16s vs f32: median ratio=%.3f CI95=[%.3f, %.3f] "
                 "better=%.0f%% sign_p=%.3f wilcoxon_p=%.3f -> %s"
                 % (name, st["median_ratio"], *st["median_ratio_ci95"],
                    100 * st["frac_variant_better"], st["sign_test_p"],
@@ -303,15 +371,26 @@ def main(argv=None) -> int:
             )
 
     if args.json:
-        meta = dict(seeds=args.seeds, gens=args.gens, pop=pop, mu=args.mu,
-                    segment_gens=args.segment_gens, threshold=args.threshold,
+        meta = dict(gens=args.gens, pop=pop, mu=args.mu,
+                    segment_gens=args.segment_gens,
+                    thresholds=[float(t) for t in args.thresholds],
                     mutation_noise=args.mutation_noise,
                     true_genes=list(TRUE_GENES),
-                    paired="same PRNGKey per seed index across variants",
+                    paired="same PRNGKey per seed index across variants "
+                           "(within a split)",
                     scoring="recovered params re-evaluated under f32/jnp.sin")
+        # each --split lands under splits[<name>]; disjoint seed blocks
+        # accumulate independently (train = tuning block, holdout = the
+        # frozen-config audit block)
+        doc["meta"] = meta
+        doc["splits"][split] = {
+            "seed_offset": args.seed_offset,
+            "seeds": args.seeds,
+            "results": results,
+        }
         with open(args.json, "w") as f:
-            json.dump({"meta": meta, "results": results}, f, indent=1)
-        print(f"wrote {args.json}")
+            json.dump(doc, f, indent=1)
+        print(f"wrote {args.json} (split={split})")
     return 0
 
 

@@ -34,7 +34,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def child(pid: int, nproc: int, ndev: int, port: int, mesh2d: bool) -> int:
+def child(pid: int, nproc: int, ndev: int, port: int, mesh2d: bool,
+          timeit: bool = False) -> int:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -84,6 +85,63 @@ def child(pid: int, nproc: int, ndev: int, port: int, mesh2d: bool) -> int:
     print(f"MPCHK {pid} best={float(bf):.9e} gen_ok=1 "
           f"p0={float(pf.addressable_shards[0].data.reshape(-1)[0]):.9e}",
           flush=True)
+
+    if timeit and not mesh2d:
+        # Merge-collective wall-clock share (VERDICT r2 #5): time the
+        # sharded evolve against a local-only evolve doing the same
+        # per-shard work (same local population, same mu) with NO
+        # collective. Gloo-on-CPU numbers say nothing about ICI latency —
+        # this measures the STRUCTURAL overhead (collective count/payload
+        # + replicated merge) of the design at a real process boundary.
+        import time as _time
+
+        gens = 20
+        mu = 16
+        local_pop = 1024
+        cfg_t = ESConfig(
+            num_parents=mu, num_offspring=local_pop * n_pop_shards - mu,
+            num_dimensions=6, topology="fm3_series", audio_length_log2=9,
+            synthesis_engine="scanless",
+        )
+        so_t = make_spectrum_ops(cfg_t)
+        st = jax.device_put(init_state(jax.random.PRNGKey(1), cfg_t), rep)
+        tg = jax.device_put(jnp.ones((so_t.num_bins,), jnp.float32), rep)
+
+        @jax.jit
+        def run_shard(s, t):
+            final, _ = evolve_sharded(s, t, gens, so_t, cfg_t, mesh)
+            return final.best_fitness
+
+        from pmfm_tpu.es.pipeline import evolve as evolve_local
+
+        cfg_l = cfg_t.replace(num_offspring=local_pop - mu)
+        st_l = init_state(jax.random.PRNGKey(1), cfg_l)
+
+        @jax.jit
+        def run_local(s, t):
+            final, _ = evolve_local(s, t, gens, so_t, cfg_l)
+            return final.best_fitness
+
+        def best_of(f, *a, reps=3):
+            jax.block_until_ready(f(*a))
+            out = None
+            for _ in range(reps):
+                t0 = _time.perf_counter()
+                jax.block_until_ready(f(*a))
+                dt = _time.perf_counter() - t0
+                out = dt if out is None else min(out, dt)
+            return out
+
+        t_shard = best_of(run_shard, st, tg)
+        t_local = best_of(run_local, st_l, tg)
+        share = max(0.0, 1.0 - t_local / t_shard)
+        print(
+            f"MPTIME {pid} gens={gens} local_pop={local_pop} "
+            f"t_sharded={t_shard*1e3/gens:.3f}ms/gen "
+            f"t_local={t_local*1e3/gens:.3f}ms/gen "
+            f"merge_share={share*100:.1f}%",
+            flush=True,
+        )
     return 0
 
 
@@ -93,11 +151,15 @@ def main() -> int:
     ap.add_argument("--devs", type=int, default=4, help="virtual devices per process")
     ap.add_argument("--mesh2d", action="store_true",
                     help="2-D (pop x frame) mesh spanning the processes")
+    ap.add_argument("--timeit", action="store_true",
+                    help="also time sharded vs local-only evolve per child "
+                         "(merge-collective wall-clock share)")
     ap.add_argument("--child", type=int, default=None)
     ap.add_argument("--port", type=int, default=None)
     args = ap.parse_args()
     if args.child is not None:
-        return child(args.child, args.procs, args.devs, args.port, args.mesh2d)
+        return child(args.child, args.procs, args.devs, args.port,
+                     args.mesh2d, args.timeit)
 
     port = _free_port()  # per-invocation: concurrent runs don't collide
     env = dict(os.environ)
@@ -111,7 +173,8 @@ def main() -> int:
             [sys.executable, os.path.abspath(__file__), "--procs",
              str(args.procs), "--devs", str(args.devs), "--child", str(i),
              "--port", str(port)]
-            + (["--mesh2d"] if args.mesh2d else []),
+            + (["--mesh2d"] if args.mesh2d else [])
+            + (["--timeit"] if args.timeit else []),
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
@@ -129,8 +192,11 @@ def main() -> int:
             print(out)
             print(f"child {i} FAILED rc={p.returncode}")
             return 1
-        lines += [ln for ln in out.splitlines() if ln.startswith("MPCHK")]
+        lines += [ln for ln in out.splitlines()
+                  if ln.startswith(("MPCHK", "MPTIME"))]
     print("\n".join(lines))
+    tlines = [ln for ln in lines if ln.startswith("MPTIME")]
+    lines = [ln for ln in lines if ln.startswith("MPCHK")]
     bests = {ln.split("best=")[1].split()[0] for ln in lines}
     assert len(lines) == args.procs, lines
     assert len(bests) == 1, f"processes disagree: {bests}"
