@@ -519,6 +519,12 @@ def _synth_emit_looped(
         return x.astype(jnp.int8 if int8_mode else jnp.bfloat16).astype(sdtype)
 
     def emit(r0, prev_q, nxt):
+        if not isinstance(r0, int):
+            # loop-traced offsets are always whole blocks (r0 = n - bf*C),
+            # but Mosaic cannot prove the sublane alignment of a traced
+            # index on hardware ("cannot statically prove that index in
+            # dimension 0 is a multiple of 8") — assert it explicitly
+            r0 = pl.multiple_of(r0, c)
         asm = jax.lax.dot_general(
             p_rev, prev_q, dn_std, preferred_element_type=adtype
         )
@@ -539,7 +545,7 @@ def _synth_emit_looped(
 
         @pl.when(bf < nhb)
         def _first_half():
-            a_plus[pl.ds(bf * c, c), :] = q
+            a_plus[pl.ds(pl.multiple_of(bf * c, c), c), :] = q
 
         edge_q = jnp.where(
             bf == nhb, q[0:1, :].astype(jnp.float32), edge_q

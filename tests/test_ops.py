@@ -180,14 +180,21 @@ class TestFoldedSpectrumXLA:
         rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
         return rel
 
-    @pytest.mark.parametrize("n", [512, 2048, 8192])
+    @pytest.mark.parametrize(
+        "n",
+        [512, 2048, pytest.param(8192, marks=pytest.mark.slow)],
+    )
     def test_bf16_folded_parity(self, n):
         assert self._case(n, jnp.bfloat16) < 1.5e-2
 
-    @pytest.mark.parametrize("n", [512, 2048, 8192])
+    @pytest.mark.parametrize(
+        "n",
+        [512, 2048, pytest.param(8192, marks=pytest.mark.slow)],
+    )
     def test_int8_folded_parity(self, n):
         assert self._case(n, jnp.int8) < 2.5e-2
 
+    @pytest.mark.slow  # ~90 s: n=8192 XLA folded engine end-to-end
     def test_large_frame_engine_used_above_vmem_gate(self):
         """n=8192 int8: the fused kernel gates off on VMEM, and evaluate()
         must route to the folded XLA engine and still rank a planted truth
@@ -322,6 +329,7 @@ class TestSynthFoldLooped:
                 atol = max(float(np.abs(a).max()), 1.0) / 128
                 assert np.abs(a - b).max() <= atol
 
+    @pytest.mark.slow  # ~25 min: n=16384 looped kernel under interpret
     def test_large_n_gate_and_ranking(self):
         """n=16384 routes to the hybrid (looped) and a planted truth
         candidate ranks first end-to-end; bf16 n=32768 falls back (the

@@ -61,17 +61,22 @@ def main(argv=None):
             so_d = spectral.make_spectrum_ops(
                 n, method="dft", dft_dtype=jnp.bfloat16
             )
+            # reduce to a scalar INSIDE the jit: syncing the (B, K) spectra
+            # would pull tens of MB through the axon dev tunnel per rep and
+            # swamp the compute being measured
             variants["folded_dft_bf16"] = (
                 jax.jit(
                     lambda a, so=so_d: spectral.magnitude_spectrum_folded(
                         a.astype(jnp.bfloat16), so
-                    )
+                    ).sum()
                 ),
                 audio32,
             )
         so_r = spectral.make_spectrum_ops(n, method="rfft")
         variants["rfft_f32"] = (
-            jax.jit(lambda a, so=so_r: spectral.magnitude_spectrum(a, so)),
+            jax.jit(
+                lambda a, so=so_r: spectral.magnitude_spectrum(a, so).sum()
+            ),
             audio32,
         )
         line = [f"n={n:6d}"]
@@ -79,7 +84,8 @@ def main(argv=None):
             try:
                 dt = steady(fn, a)
             except Exception as e:  # HBM limits at the top sizes
-                print(f"n={n} {name}: SKIP ({type(e).__name__})")
+                print(f"n={n} {name}: SKIP ({type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:200]})")
                 continue
             tn = f"Spectrum_{n}_{name}"
             bm.add_timer(tn, dt * 1e3)
