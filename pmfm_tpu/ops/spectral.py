@@ -44,7 +44,12 @@ SPECTRUM_METHODS = ("rfft", "dft", "auto")
 
 # DFT-as-matmul beats the FFT lowering up to a few K points on the MXU
 # (measured: 1024-pt batch-2^15 dft 3.3ms f32 / 1.0ms bf16 vs rfft 6.4ms);
-# the O(N^2) term wins out for long transforms.
+# the O(N^2) term wins out for long transforms. This "auto" threshold is
+# conservative for the f32 unfolded operand; the FOLDED bf16 matmul
+# (magnitude_spectrum_folded, what "dft" + bf16/int8 configs actually run)
+# stays ahead of rfft to the materialisation limit — dft/rfft 0.44 at
+# n=4096 rising to 0.86 at n=16384 (tools/tpu_spectrum_probe.py,
+# benchmarks/spectrum_crossover.csv, 2026-08-21).
 AUTO_DFT_MAX_N = 4096
 
 # Hard ceiling for materialising the DFT-as-matmul operands, even when
