@@ -125,7 +125,16 @@ def make_spectrum_ops(
     if method not in SPECTRUM_METHODS:
         raise ValueError(f"method must be one of {SPECTRUM_METHODS}")
     if method == "auto":
-        method = "dft" if n <= AUTO_DFT_MAX_N else "rfft"
+        # reduced-precision configs run the FOLDED matmul, which beats rfft
+        # to the materialisation limit (crossover measurement at
+        # AUTO_DFT_MAX_N's definition); the f32 unfolded operand loses
+        # earlier
+        limit = (
+            DFT_MAX_MATERIALIZE_N
+            if jnp.dtype(dft_dtype) in (jnp.int8, jnp.bfloat16)
+            else AUTO_DFT_MAX_N
+        )
+        method = "dft" if n <= limit else "rfft"
     if method == "dft" and n > DFT_MAX_MATERIALIZE_N:
         method = "rfft"  # O(N^2) operands exceed HBM (see the constant)
     if num_bins is None:
@@ -140,36 +149,69 @@ def make_spectrum_ops(
         # fused kernels consume the int8 dft_packed (see SpectrumOps docs)
         dft_dtype = jnp.bfloat16
     if method == "dft":
-        t = np.arange(n, dtype=np.float64)[:, None]
+        if int8_mode and n % 2:
+            raise ValueError("the int8 folded engine needs even n")
+        # Chunked host-side construction over time-row blocks. The naive
+        # full (N, K) f64 outer product costs 4.3 GB PER TEMPORARY at
+        # n=32768 (and the int8 branch used to run the trig twice) — on
+        # this 2-vCPU box that meant ~4-5 min of swap-bound build per
+        # config. Blocked, the peak is a few hundred MB and each trig
+        # value is computed once. Per-element math (and therefore every
+        # output bit) is IDENTICAL to the unchunked form: f64 trig*window,
+        # one cast to the target dtype — golden tests unaffected.
+        out_dtype = np.dtype(dft_dtype)
         k = np.arange(num_bins, dtype=np.float64)[None, :]
-        ang = 2.0 * math.pi * t * k / n
-        # window and magnitude normalisation folded in:
-        #   re[k] = sum_n a[n] w[n] cos(..) * norm ; im likewise
-        cos_np = np.cos(ang) * w[:, None] * norm
-        sin_np = -np.sin(ang) * w[:, None] * norm
-        dft_cos = jnp.asarray(cos_np.astype(dft_dtype))
-        dft_sin = jnp.asarray(sin_np.astype(dft_dtype))
+        cos_out = np.empty((n, num_bins), out_dtype)
+        sin_out = np.empty((n, num_bins), out_dtype)
+        packed = None
         if int8_mode:
-            # FOLDED operand (see SpectrumOps docs): rows n = 0..N/2-1 only,
-            # quantised at 63.5 LSB/unit of w*trig (range [-2, 2] — the
-            # reference window peaks at 2.0); norm moves to dft_packed_scale.
-            # Audio is quantised at 63 LSB/unit so the fold sums a+/- =
-            # q[n] +- q[N-n] stay within int8.
-            if n % 2:
-                raise ValueError("the int8 folded engine needs even n")
-            q = np.concatenate(
-                [np.cos(ang) * w[:, None], np.sin(ang) * -w[:, None]], axis=1
-            ).T[:, : n // 2] * 63.5
-            dft_packed = jnp.asarray(np.round(q).astype(np.int8))
-            dft_packed_scale = norm / (63.5 * 63.0)
+            # FOLDED operand (see SpectrumOps docs): rows n = 0..N/2-1
+            # only, quantised at 63.5 LSB/unit of w*trig (range [-2, 2] —
+            # the reference window peaks at 2.0); norm moves to
+            # dft_packed_scale. Audio is quantised at 63 LSB/unit so the
+            # fold sums a+/- = q[n] +- q[N-n] stay within int8.
+            packed = np.empty((2 * num_bins, n // 2), np.int8)
         elif n % 2 == 0:
-            # bf16 operand, same FOLD as int8 (window+norm stay folded in;
-            # the edge coefficient 2*norm*(-1)^k is applied in-kernel)
-            dft_packed = jnp.asarray(
-                np.concatenate([cos_np, sin_np], axis=1).T[:, : n // 2].astype(
-                    np.float32
-                )
-            ).astype(jnp.bfloat16)
+            # bf16 operand (for ANY non-int8 dft_dtype, incl. f32 — the
+            # fused kernels consume it), same FOLD as int8 (window+norm
+            # stay folded in; the edge coefficient 2*norm*(-1)^k is
+            # applied in-kernel); f64 -> f32 -> bf16 rounding chain
+            # preserved from the unchunked form
+            packed = np.empty((2 * num_bins, n // 2), np.dtype(jnp.bfloat16))
+        blk = max(128, (1 << 25) // max(num_bins, 1))  # ~256 MB f64 temp
+        for t0 in range(0, n, blk):
+            t1 = min(t0 + blk, n)
+            t = np.arange(t0, t1, dtype=np.float64)[:, None]
+            ang = 2.0 * math.pi * t * k / n
+            c_raw = np.cos(ang) * w[t0:t1, None]  # f64 trig * window
+            s_raw = np.sin(ang) * -w[t0:t1, None]
+            # window and magnitude normalisation folded in:
+            #   re[k] = sum_n a[n] w[n] cos(..) * norm ; im likewise
+            cos_out[t0:t1] = c_raw * norm
+            sin_out[t0:t1] = s_raw * norm
+            if packed is not None and t0 < n // 2:
+                p1 = min(t1, n // 2)
+                rows = slice(0, p1 - t0)
+                if int8_mode:
+                    packed[:num_bins, t0:p1] = np.round(
+                        c_raw[rows].T * 63.5
+                    )
+                    packed[num_bins:, t0:p1] = np.round(
+                        s_raw[rows].T * 63.5
+                    )
+                else:
+                    packed[:num_bins, t0:p1] = (
+                        (c_raw[rows] * norm).astype(np.float32).T
+                    )
+                    packed[num_bins:, t0:p1] = (
+                        (s_raw[rows] * norm).astype(np.float32).T
+                    )
+        dft_cos = jnp.asarray(cos_out)
+        dft_sin = jnp.asarray(sin_out)
+        if packed is not None:
+            dft_packed = jnp.asarray(packed)
+            if int8_mode:
+                dft_packed_scale = norm / (63.5 * 63.0)
     return SpectrumOps(
         n=n,
         num_bins=num_bins,

@@ -88,6 +88,52 @@ class TestSynthesisVsOracle:
 
 
 class TestSpectrum:
+    def test_method_gates(self):
+        """auto is dtype-aware (folded bf16/int8 matmuls beat rfft to the
+        materialisation limit — benchmarks/spectrum_crossover.csv) and an
+        explicit 'dft' above DFT_MAX_MATERIALIZE_N degrades to rfft
+        instead of building O(N^2) operands past HBM."""
+        from pmfm_tpu.ops import spectral
+
+        assert ops.make_spectrum_ops(4096, method="auto").method == "dft"
+        assert ops.make_spectrum_ops(8192, method="auto").method == "rfft"
+        assert (
+            ops.make_spectrum_ops(
+                8192, method="auto", dft_dtype=jnp.int8
+            ).method
+            == "dft"
+        )
+        assert (
+            ops.make_spectrum_ops(
+                1 << 16, method="auto", dft_dtype=jnp.int8
+            ).method
+            == "rfft"
+        )
+        big = ops.make_spectrum_ops(1 << 16, method="dft")
+        assert big.method == "rfft" and big.dft_cos is None
+        assert spectral.DFT_MAX_MATERIALIZE_N == 32768
+
+    def test_active_engine_ladder(self):
+        """strategy.active_engine names the engine evaluate() dispatches
+        to at each frame size (the chunk-size suite's row annotations)."""
+        from pmfm_tpu.es import ESConfig, make_spectrum_ops as mk
+        from pmfm_tpu.es.strategy import active_engine
+
+        def cfg(log2, pop_log2=15):
+            return ESConfig(
+                num_parents=256, num_offspring=(1 << pop_log2) - 256,
+                audio_length_log2=log2, synthesis_engine="scanless",
+                spectrum_method="dft", dft_dtype="int8", fused_kernel=True,
+                fused_generation=True, pop_block=1024,
+            )
+
+        c = cfg(10)
+        assert active_engine(c, mk(c)) == "fused_generation"
+        c = cfg(13)
+        assert active_engine(c, mk(c)) == "synth_fold"
+        c = cfg(16, pop_log2=13)
+        assert active_engine(c, mk(c)) == "xla_rfft"
+
     def test_rfft_and_dft_agree(self):
         n = 512
         rng = np.random.default_rng(1)
