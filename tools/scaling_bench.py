@@ -34,10 +34,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    if not jax.config.jax_compilation_cache_dir:
+        from pmfm_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
+
     from pmfm_tpu.es import ESConfig, init_state, make_spectrum_ops
     from pmfm_tpu.parallel import make_mesh
     from pmfm_tpu.parallel.sharded import evolve_sharded
-    from pmfm_tpu.utils import Benchmarker
+    from pmfm_tpu.utils import Benchmarker, device_sync
 
     ndev = len(jax.devices())
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev]
