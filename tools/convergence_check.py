@@ -350,6 +350,9 @@ def main(argv=None) -> int:
             "max": float(fits.max()),
             "fits": fits.tolist(),
             "boundaries_gens": [int(b) for b in boundaries],
+            # f32-rescored best-so-far at every boundary, per seed — lets
+            # any threshold be recomputed offline without rerunning
+            "rescored_trajectory": np.round(seg_fits, 6).tolist(),
             "generations_to_converge": {
                 key: gens_to_converge(seg_fits, boundaries, t)
                 for key, t in thr_items
