@@ -122,7 +122,34 @@ def main():
         # bench engine to reach the fixed f32-rescored fitness threshold
         # on the known-params target.
         out["generations_to_converge"] = gtc
+    q = _quality_holdout()
+    if q is not None:
+        out["quality_vs_f32_holdout"] = q
     print(json.dumps(out))
+
+
+def _quality_holdout():
+    """Held-out paired quality of the bench engine family vs pure f32
+    (seeds disjoint from all tuning; benchmarks/quality_gates.json)."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "quality_gates.json",
+    )
+    try:
+        with open(path) as f:
+            res = json.load(f)["splits"]["holdout"]["results"]
+        out = {}
+        for name in ("int8+sin7+refine", "shipped"):
+            st = res[name]["paired_vs_f32"]
+            out[name] = {
+                "median_ratio": round(st["median_ratio"], 3),
+                "sign_p": round(st["sign_test_p"], 3),
+            }
+        return out
+    except Exception:
+        return None
 
 
 def _generations_to_converge():
