@@ -97,6 +97,22 @@ class TestConvergenceCheckTool:
         out = capsys.readouterr().out
         assert "f32" in out and "int8+sin7" in out
         assert "nan" not in out.lower()
+        # per-topology + relative-threshold + split/merge path (tmp json)
+        import json
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "qg.json")
+            rc = mod.main(["--variants", "f32", "--seeds", "1", "--gens", "2",
+                           "--pop-log2", "7", "--mu", "8",
+                           "--topology", "fm2", "--thresholds-rel", "1e-2",
+                           "--split", "fm2", "--json", path])
+            assert rc == 0
+            doc = json.load(open(path))
+            r = doc["splits"]["fm2"]["results"]["f32"]
+            assert "rel0.01" in r["generations_to_converge"]
+            assert len(r["rescored_trajectory"][0]) == len(r["boundaries_gens"])
+            assert doc["meta"]["topology"] == "fm2"
 
 
 class TestKernelSeed:

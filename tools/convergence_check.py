@@ -270,7 +270,7 @@ def main(argv=None) -> int:
 
     # threshold table: (key, absolute fitness value)
     if args.thresholds_rel:
-        tgt_energy = float(jnp.sum(tspec32.astype(jnp.float64) ** 2))
+        tgt_energy = float(np.sum(np.asarray(tspec32, np.float64) ** 2))
         thr_items = [
             (f"rel{r:g}", r * r * tgt_energy) for r in args.thresholds_rel
         ]
