@@ -117,6 +117,13 @@ class ESConfig:
     refine_generations: int = 0
     refine_step_floor: float = 0.01
 
+    # Opt-in disk cache for the O(N^2) DFT operands at large frame sizes
+    # (n >= spectral.OPERAND_CACHE_MIN_N): the f64 trig build costs ~2 min
+    # at n=32768 per process; a cached read is ~3 s. Config key
+    # "tpu.operandCacheDir". Caches are versioned
+    # (spectral.OPERAND_BUILD_VERSION) and keyed by (n, bins, dtype).
+    operand_cache_dir: str | None = None
+
     # capability upgrades over the reference (SURVEY.md §7.2 item 8)
     fitness_threshold: float = 0.0  # 0 disables early stop (dead knob in ref)
     # >1: one ES run scored against `num_frames` STFT frames of a longer

@@ -44,6 +44,7 @@ def make_spectrum_ops(cfg: ESConfig) -> spectral.SpectrumOps:
         num_bins=cfg.num_bins,
         method=cfg.spectrum_method,
         dft_dtype=jnp.dtype(cfg.dft_dtype),
+        cache_dir=cfg.operand_cache_dir,
     )
 
 

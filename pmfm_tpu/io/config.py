@@ -41,6 +41,8 @@ TPU extension section (all optional)::
     "dftDtype": "float32",          # float32 | bfloat16 | int8
     "sineOrder": 9,                 # fused-kernel sine polynomial (9 | 7 | 5)
     "numBins": null,
+    "operandCacheDir": null,        # disk cache for large-frame DFT operands
+                                    # (n >= 16384; ~2 min build -> ~3 s load)
     "meshShape": [8],               # population-sharding mesh (parallel/)
     "meshAxisNames": ["pop"]
   }
@@ -129,6 +131,7 @@ def parse_config(j: dict[str, Any]) -> RunConfig:
         osc_mode=tpu.get("oscMode", "floor"),
         spectrum_method=tpu.get("spectrumMethod", "dft"),
         num_bins=tpu.get("numBins"),
+        operand_cache_dir=tpu.get("operandCacheDir"),
         recombine_mode=tpu.get("recombineMode", "gather"),
         mutation_noise=tpu.get("mutationNoise", "clt12"),
         min_step=float(tpu.get("minStep", 0.0)),

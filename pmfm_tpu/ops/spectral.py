@@ -116,11 +116,140 @@ class SpectrumOps(NamedTuple):
     dft_packed_scale: float = 0.0
 
 
+def _build_dft_operands(n, num_bins, w, norm, int8_mode, out_dtype):
+    """Chunked host-side construction of the DFT-as-matmul operands over
+    time-row blocks. The naive full (N, K) f64 outer product costs 4.3 GB
+    PER TEMPORARY at n=32768 (and the int8 branch used to run the trig
+    twice) — on this 2-vCPU box that meant ~4-5 min of swap-bound build per
+    config. Blocked, the peak is a few hundred MB and each trig value is
+    computed once. Per-element math (and therefore every output bit) is
+    IDENTICAL to the unchunked form: f64 trig*window, one cast to the
+    target dtype — golden tests unaffected.
+
+    Returns ``(cos_out (N, K), sin_out (N, K), packed (2K, N/2) or None)``
+    as numpy arrays; ``packed`` is the FOLDED operand — int8 rows
+    round(63.5*w*trig) in int8 mode (norm moves to dft_packed_scale; audio
+    is quantised at 63 LSB/unit so the fold sums q[n] +- q[N-n] stay
+    within int8), else bf16 with window+norm folded in (for ANY non-int8
+    dft_dtype incl. f32 — the fused kernels consume it; f64 -> f32 -> bf16
+    rounding chain preserved from the unchunked form). The edge
+    coefficient 2*norm*(-1)^k is applied in-kernel.
+    """
+    k = np.arange(num_bins, dtype=np.float64)[None, :]
+    cos_out = np.empty((n, num_bins), out_dtype)
+    sin_out = np.empty((n, num_bins), out_dtype)
+    packed = None
+    if int8_mode:
+        packed = np.empty((2 * num_bins, n // 2), np.int8)
+    elif n % 2 == 0:
+        packed = np.empty((2 * num_bins, n // 2), np.dtype(jnp.bfloat16))
+    blk = max(128, (1 << 25) // max(num_bins, 1))  # ~256 MB f64 temp
+    for t0 in range(0, n, blk):
+        t1 = min(t0 + blk, n)
+        t = np.arange(t0, t1, dtype=np.float64)[:, None]
+        ang = 2.0 * math.pi * t * k / n
+        c_raw = np.cos(ang) * w[t0:t1, None]  # f64 trig * window
+        s_raw = np.sin(ang) * -w[t0:t1, None]
+        # window and magnitude normalisation folded in:
+        #   re[k] = sum_n a[n] w[n] cos(..) * norm ; im likewise
+        cos_out[t0:t1] = c_raw * norm
+        sin_out[t0:t1] = s_raw * norm
+        if packed is not None and t0 < n // 2:
+            p1 = min(t1, n // 2)
+            rows = slice(0, p1 - t0)
+            if int8_mode:
+                packed[:num_bins, t0:p1] = np.round(c_raw[rows].T * 63.5)
+                packed[num_bins:, t0:p1] = np.round(s_raw[rows].T * 63.5)
+            else:
+                packed[:num_bins, t0:p1] = (
+                    (c_raw[rows] * norm).astype(np.float32).T
+                )
+                packed[num_bins:, t0:p1] = (
+                    (s_raw[rows] * norm).astype(np.float32).T
+                )
+    return cos_out, sin_out, packed
+
+
+# --- operand disk cache (large frames only) --------------------------------
+# The f64 trig build above is CPU-bound (~2 min at n=32768 on 2 vCPUs) and
+# reruns in EVERY process that touches a large-frame config. Opt-in disk
+# cache: ESConfig.operand_cache_dir / config "tpu.operandCacheDir" /
+# make_spectrum_ops(cache_dir=...). Files are a few GB at the top sizes —
+# that's the point (a ~3 s read replaces ~2 min of trig).
+# BUMP THE VERSION whenever the operand math above changes (window formula,
+# norm placement, quantisation constants) — it invalidates every cache.
+OPERAND_BUILD_VERSION = 1
+OPERAND_CACHE_MIN_N = 16384
+
+
+def _operand_cache_file(cache_dir, n, num_bins, out_dtype, int8_mode):
+    import os
+
+    name = (
+        f"dftops_v{OPERAND_BUILD_VERSION}_n{n}_k{num_bins}_"
+        f"{out_dtype.name}{'_int8' if int8_mode else ''}.npz"
+    )
+    return os.path.join(cache_dir, name)
+
+
+def _u16(a):
+    """2-byte dtypes (bf16) as uint16 for npz (numpy's format can't store
+    ml_dtypes); 1/4-byte dtypes pass through."""
+    return a.view(np.uint16) if a.dtype.itemsize == 2 else a
+
+
+def _load_operand_cache(cache_dir, n, num_bins, out_dtype, int8_mode):
+    import os
+
+    path = _operand_cache_file(cache_dir, n, num_bins, out_dtype, int8_mode)
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            cos_out = z["cos"]
+            sin_out = z["sin"]
+            packed = z["packed"] if "packed" in z else None
+        if out_dtype.itemsize == 2:
+            cos_out = cos_out.view(out_dtype)
+            sin_out = sin_out.view(out_dtype)
+        if packed is not None and not int8_mode:
+            packed = packed.view(np.dtype(jnp.bfloat16))
+        if cos_out.shape != (n, num_bins):
+            return None
+        return cos_out, sin_out, packed
+    except Exception:
+        return None  # corrupt/partial cache: rebuild (and overwrite)
+
+
+def _save_operand_cache(
+    cache_dir, n, num_bins, out_dtype, int8_mode, cos_out, sin_out, packed
+):
+    import os
+    import tempfile
+
+    os.makedirs(cache_dir, exist_ok=True)
+    path = _operand_cache_file(cache_dir, n, num_bins, out_dtype, int8_mode)
+    arrays = {"cos": _u16(cos_out), "sin": _u16(sin_out)}
+    if packed is not None:
+        arrays["packed"] = _u16(packed)
+    fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)  # atomic: concurrent builders race benignly
+    except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
 def make_spectrum_ops(
     n: int,
     num_bins: int | None = None,
     method: str = "dft",
     dft_dtype=jnp.float32,
+    cache_dir: str | None = None,
 ) -> SpectrumOps:
     if method not in SPECTRUM_METHODS:
         raise ValueError(f"method must be one of {SPECTRUM_METHODS}")
@@ -151,61 +280,23 @@ def make_spectrum_ops(
     if method == "dft":
         if int8_mode and n % 2:
             raise ValueError("the int8 folded engine needs even n")
-        # Chunked host-side construction over time-row blocks. The naive
-        # full (N, K) f64 outer product costs 4.3 GB PER TEMPORARY at
-        # n=32768 (and the int8 branch used to run the trig twice) — on
-        # this 2-vCPU box that meant ~4-5 min of swap-bound build per
-        # config. Blocked, the peak is a few hundred MB and each trig
-        # value is computed once. Per-element math (and therefore every
-        # output bit) is IDENTICAL to the unchunked form: f64 trig*window,
-        # one cast to the target dtype — golden tests unaffected.
         out_dtype = np.dtype(dft_dtype)
-        k = np.arange(num_bins, dtype=np.float64)[None, :]
-        cos_out = np.empty((n, num_bins), out_dtype)
-        sin_out = np.empty((n, num_bins), out_dtype)
-        packed = None
-        if int8_mode:
-            # FOLDED operand (see SpectrumOps docs): rows n = 0..N/2-1
-            # only, quantised at 63.5 LSB/unit of w*trig (range [-2, 2] —
-            # the reference window peaks at 2.0); norm moves to
-            # dft_packed_scale. Audio is quantised at 63 LSB/unit so the
-            # fold sums a+/- = q[n] +- q[N-n] stay within int8.
-            packed = np.empty((2 * num_bins, n // 2), np.int8)
-        elif n % 2 == 0:
-            # bf16 operand (for ANY non-int8 dft_dtype, incl. f32 — the
-            # fused kernels consume it), same FOLD as int8 (window+norm
-            # stay folded in; the edge coefficient 2*norm*(-1)^k is
-            # applied in-kernel); f64 -> f32 -> bf16 rounding chain
-            # preserved from the unchunked form
-            packed = np.empty((2 * num_bins, n // 2), np.dtype(jnp.bfloat16))
-        blk = max(128, (1 << 25) // max(num_bins, 1))  # ~256 MB f64 temp
-        for t0 in range(0, n, blk):
-            t1 = min(t0 + blk, n)
-            t = np.arange(t0, t1, dtype=np.float64)[:, None]
-            ang = 2.0 * math.pi * t * k / n
-            c_raw = np.cos(ang) * w[t0:t1, None]  # f64 trig * window
-            s_raw = np.sin(ang) * -w[t0:t1, None]
-            # window and magnitude normalisation folded in:
-            #   re[k] = sum_n a[n] w[n] cos(..) * norm ; im likewise
-            cos_out[t0:t1] = c_raw * norm
-            sin_out[t0:t1] = s_raw * norm
-            if packed is not None and t0 < n // 2:
-                p1 = min(t1, n // 2)
-                rows = slice(0, p1 - t0)
-                if int8_mode:
-                    packed[:num_bins, t0:p1] = np.round(
-                        c_raw[rows].T * 63.5
-                    )
-                    packed[num_bins:, t0:p1] = np.round(
-                        s_raw[rows].T * 63.5
-                    )
-                else:
-                    packed[:num_bins, t0:p1] = (
-                        (c_raw[rows] * norm).astype(np.float32).T
-                    )
-                    packed[num_bins:, t0:p1] = (
-                        (s_raw[rows] * norm).astype(np.float32).T
-                    )
+        cos_out = sin_out = packed = None
+        if cache_dir is not None and n >= OPERAND_CACHE_MIN_N:
+            loaded = _load_operand_cache(
+                cache_dir, n, num_bins, out_dtype, int8_mode
+            )
+            if loaded is not None:
+                cos_out, sin_out, packed = loaded
+        if cos_out is None:
+            cos_out, sin_out, packed = _build_dft_operands(
+                n, num_bins, w, norm, int8_mode, out_dtype
+            )
+            if cache_dir is not None and n >= OPERAND_CACHE_MIN_N:
+                _save_operand_cache(
+                    cache_dir, n, num_bins, out_dtype, int8_mode,
+                    cos_out, sin_out, packed,
+                )
         dft_cos = jnp.asarray(cos_out)
         dft_sin = jnp.asarray(sin_out)
         if packed is not None:

@@ -113,6 +113,31 @@ class TestSpectrum:
         assert big.method == "rfft" and big.dft_cos is None
         assert spectral.DFT_MAX_MATERIALIZE_N == 32768
 
+    @pytest.mark.parametrize("dtype", [jnp.int8, jnp.bfloat16, jnp.float32])
+    def test_operand_disk_cache_roundtrip(self, tmp_path, monkeypatch, dtype):
+        """Opt-in operand cache: a cached load is BIT-identical to a fresh
+        build (incl. the bf16 uint16-view round trip), and the versioned
+        file lands in the cache dir."""
+        import os
+
+        from pmfm_tpu.ops import spectral
+
+        monkeypatch.setattr(spectral, "OPERAND_CACHE_MIN_N", 512)
+        kw = dict(method="dft", dft_dtype=dtype, cache_dir=str(tmp_path))
+        fresh = spectral.make_spectrum_ops(512, method="dft", dft_dtype=dtype)
+        so1 = spectral.make_spectrum_ops(512, **kw)  # builds + saves
+        files = os.listdir(tmp_path)
+        assert any(f.startswith("dftops_v") for f in files), files
+        so2 = spectral.make_spectrum_ops(512, **kw)  # loads
+        for a, b in ((so1, so2), (fresh, so2)):
+            assert np.array_equal(np.asarray(a.dft_cos), np.asarray(b.dft_cos))
+            assert np.array_equal(np.asarray(a.dft_sin), np.asarray(b.dft_sin))
+            assert a.dft_packed.dtype == b.dft_packed.dtype
+            assert np.array_equal(
+                np.asarray(a.dft_packed), np.asarray(b.dft_packed)
+            )
+        assert so2.dft_packed_scale == fresh.dft_packed_scale
+
     def test_active_engine_ladder(self):
         """strategy.active_engine names the engine evaluate() dispatches
         to at each frame size (the chunk-size suite's row annotations)."""
