@@ -39,14 +39,15 @@ def _steady_time(fn, *args, reps=3):
     return best
 
 
-def _make_runner(cfg, gens):
+def _make_runner(cfg, gens, so=None):
     import jax
     import jax.numpy as jnp
 
     from .es import init_state, make_spectrum_ops
     from .es.pipeline import evolve
 
-    so = make_spectrum_ops(cfg)
+    if so is None:
+        so = make_spectrum_ops(cfg)
     tspec = jnp.ones((so.num_bins,), jnp.float32)
     # the (N, K)-scale DFT operands ride as jit ARGUMENTS, not closure
     # constants: closure arrays are inlined into the HLO, and at n >= 16384
@@ -183,10 +184,13 @@ def suite_chunk_size(args, bm):
         over.setdefault("num_offspring", (1 << pop_l2) - args.parents)
         cfg = _base_cfg(args, audio_length_log2=log2, **over)
         gens = args.gens if log2 <= 12 else max(5, args.gens // 10)
-        eng = active_engine(cfg, make_spectrum_ops(cfg))
+        # ONE spectrum-ops build serves both the annotation and the runner
+        # (the ~2-min host trig build at n=32768 must not run twice)
+        so = make_spectrum_ops(cfg)
+        eng = active_engine(cfg, so)
         if pop_l2 != 15:
             eng += f",pop=2^{pop_l2}"
-        dt = _steady_time(_make_runner(cfg, gens))
+        dt = _steady_time(_make_runner(cfg, gens, so))
         name = f"{name}_{1<<log2}[{eng}]"
         bm.add_timer(name, dt * 1e3)
         print(f"{name}: {dt*1e3:.1f}ms "
@@ -199,7 +203,9 @@ def suite_chunk_size(args, bm):
         try:
             row(log2, "AudioAnalysisChunkSize", spectrum_method="rfft",
                 fused_kernel=False, fused_generation=False)
-        except Exception as e:  # rfft at 2^15/pop 2^15 may exceed HBM
+        except (jax.errors.JaxRuntimeError, RuntimeError, MemoryError) as e:
+            # rfft at 2^15/pop 2^15 may exceed HBM — anything else
+            # (shape/typo regressions) must propagate, not read as a skip
             print(f"AudioAnalysisChunkSize_{1<<log2}[rfft]: SKIP ({e})",
                   flush=True)
 

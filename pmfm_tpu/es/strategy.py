@@ -303,22 +303,36 @@ def _final_pop_block_ok(cfg: ESConfig) -> bool:
 
 
 def active_engine(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> str:
-    """Which evaluation engine ``evaluate`` dispatches to for this (cfg,
-    spectrum_ops) pair — bench/report annotation (the gates auto-degrade
+    """Which engine actually runs for this (cfg, spectrum_ops) pair on the
+    CURRENT backend — bench/report annotation (the gates auto-degrade
     silently by design, so benchmarks must label what actually ran):
 
-      fused_generation / fused_kernel — fully-fused Pallas (synth+DFT+fit)
+      fused_generation — whole generation in one Pallas kernel (in-kernel
+        PRNG; requires hardware + CLT sigma=1/6 noise, generation_step's
+        extra gates)
+      fused_kernel — fused Pallas evaluation (synth+DFT+fitness); the
+        generation stages (recombine/mutate/select) run in XLA. This is
+        also what a fused_generation config runs on CPU (interpret mode —
+        the in-kernel PRNG is hardware-only) or with non-CLT noise.
       synth_fold — large-frame hybrid (Pallas synth+fold, XLA folded DFT)
+      xla_stft — multi-frame STFT fitness on the plain XLA path
       xla_folded_dft — XLA synthesis + folded bf16/int8-family DFT matmul
       xla_dft / xla_rfft — plain XLA spectrum paths
     """
     if _fused_ok(cfg, spectrum_ops):
-        return "fused_generation" if cfg.fused_generation else "fused_kernel"
+        if (
+            cfg.fused_generation
+            and cfg.gauss_sigma == 1.0 / 6.0
+            and jax.default_backend() != "cpu"
+        ):
+            return "fused_generation"
+        return "fused_kernel"
     if _synth_fold_ok(cfg, spectrum_ops):
         return "synth_fold"
+    if cfg.num_frames > 1:
+        return "xla_stft"
     if (
-        cfg.num_frames == 1
-        and cfg.spectrum_method == "dft"
+        cfg.spectrum_method == "dft"
         and spectrum_ops.dft_packed is not None
         and cfg.dft_dtype in ("bfloat16", "int8")
     ):

@@ -17,6 +17,11 @@ Artifact format (one file)::
 
 The header carries the full ESConfig, generation count, target length and
 platforms, so ``load_matcher`` needs no side-channel configuration.
+
+LIMITATION: export is SINGLE-CHIP only — the matcher is traced without a
+mesh, so population-sharded (``--mesh``) runs cannot be exported; serve
+sharded matchers live instead (parallel/sharded.py). The reference has no
+AOT capability at all, so this bounds an upgrade, not a parity gap.
 """
 from __future__ import annotations
 

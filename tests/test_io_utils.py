@@ -195,6 +195,41 @@ class TestConfig:
         with pytest.raises(ValueError):
             parse_config({"evolutionary": {"numDimensions": 5}})
 
+    def test_early_stop_example_is_live_and_stops_early(self):
+        """examples/early_stop_match.json opts into the live
+        fitnessThreshold (dead knob in the reference, SURVEY.md §5.6) and a
+        run against its own known-params target must exit the generation
+        loop well before numGenerations."""
+        import jax
+        import jax.numpy as jnp
+
+        from pmfm_tpu.es import init_state, make_spectrum_ops
+        from pmfm_tpu.es.pipeline import evolve
+        from pmfm_tpu.io.config import load_config
+        from pmfm_tpu.ops import synthesize_single
+        from pmfm_tpu.ops.spectral import target_spectrum
+
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "examples",
+            "early_stop_match.json",
+        )
+        rc = load_config(path)
+        assert rc.es.fitness_threshold == 150000.0  # live, not zeroed
+        assert rc.num_generations == 1000
+
+        # shrink the population for CPU test speed; keep the example's
+        # threshold/topology/engine semantics (seed 1 verified convergent)
+        cfg = rc.es.replace(num_parents=64, num_offspring=2048 - 64)
+        so = make_spectrum_ops(cfg)
+        audio = synthesize_single(
+            jnp.asarray(rc.input_params), cfg.n_samples, cfg.topology
+        )
+        tspec = target_spectrum(audio, so)
+        state = init_state(jax.random.PRNGKey(1), cfg)
+        final, _ = evolve(state, tspec, rc.num_generations, so, cfg)
+        assert float(final.best_fitness) <= cfg.fitness_threshold
+        assert int(final.generation) < 100  # stopped, not a full run
+
 
 class TestBenchmarker:
     def test_stats_and_csv(self, tmp_path):

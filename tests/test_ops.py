@@ -103,15 +103,33 @@ class TestSpectrum:
             ).method
             == "dft"
         )
+        # above the materialisation limit both auto and explicit dft now
+        # resolve to the four-step FACTORED matmul DFT (O(N) operands);
+        # the explicit switch warns
         assert (
             ops.make_spectrum_ops(
                 1 << 16, method="auto", dft_dtype=jnp.int8
             ).method
-            == "rfft"
+            == "dft_factored"
         )
         big = ops.make_spectrum_ops(1 << 16, method="dft")
-        assert big.method == "rfft" and big.dft_cos is None
+        assert big.method == "dft_factored" and big.dft_cos is None
+        assert big.factored is not None and big.factored.n1 == 256
         assert spectral.DFT_MAX_MATERIALIZE_N == 32768
+        # a non-factorable band request falls back to rfft (explicit dft
+        # warns: that one IS a numerics change)
+        with pytest.warns(UserWarning, match="rfft"):
+            nf = ops.make_spectrum_ops(
+                1 << 16, num_bins=(1 << 15) + 1, method="dft"
+            )
+        assert nf.method == "rfft"
+        assert (
+            ops.make_spectrum_ops(
+                1 << 16, num_bins=(1 << 15) + 1, method="auto",
+                dft_dtype=jnp.int8,
+            ).method
+            == "rfft"
+        )
 
     @pytest.mark.parametrize("dtype", [jnp.int8, jnp.bfloat16, jnp.float32])
     def test_operand_disk_cache_roundtrip(self, tmp_path, monkeypatch, dtype):
@@ -153,11 +171,75 @@ class TestSpectrum:
             )
 
         c = cfg(10)
-        assert active_engine(c, mk(c)) == "fused_generation"
+        # on CPU the in-kernel-PRNG generation kernel is gated off
+        # (hardware-only PRNG) and generation_step runs the XLA stages
+        # around the fused EVALUATION kernel — active_engine mirrors the
+        # backend gate (ADVICE r3: it must name what actually ran)
+        assert active_engine(c, mk(c)) == "fused_kernel"
         c = cfg(13)
         assert active_engine(c, mk(c)) == "synth_fold"
+        # above the materialisation limit: the four-step factored DFT now
+        # (was the rfft fallback through round 3)
         c = cfg(16, pop_log2=13)
-        assert active_engine(c, mk(c)) == "xla_rfft"
+        assert active_engine(c, mk(c)) == "xla_dft_factored"
+        # multi-frame STFT on the XLA path gets its own label
+        c = cfg(10).replace(fused_kernel=False, fused_generation=False,
+                            num_frames=4)
+        assert active_engine(c, mk(c)) == "xla_stft"
+
+    @pytest.mark.parametrize("n", [1024, 2048])  # even and odd log2(n)
+    def test_factored_matches_rfft(self, n):
+        """Four-step factored DFT (the n > 32768 engine, forced small here)
+        matches the exact rfft spectrum to f32 round-off — well inside the
+        BASELINE.md 1e-3 relative-spectral-error bound."""
+        rng = np.random.default_rng(7)
+        audio = rng.standard_normal((n, 16)).astype(np.float32)
+        so_f = ops.make_spectrum_ops(n, method="dft_factored")
+        so_r = ops.make_spectrum_ops(n, method="rfft")
+        s_f = np.asarray(ops.magnitude_spectrum(jnp.asarray(audio), so_f))
+        s_r = np.asarray(ops.magnitude_spectrum(jnp.asarray(audio), so_r))
+        assert rel_err(s_f, s_r) < 1e-5
+        assert s_f.shape == (16, n // 2)
+
+    def test_factored_chunking_equivalent(self, monkeypatch):
+        """Population chunking (lax.map over chunks) only reshapes the
+        matmul batch, so results match to f32 round-off (the reduction
+        order may differ with the shape)."""
+        from pmfm_tpu.ops import spectral
+
+        n, pop = 1024, 256
+        rng = np.random.default_rng(8)
+        audio = jnp.asarray(rng.standard_normal((n, pop)), jnp.float32)
+        so = ops.make_spectrum_ops(n, method="dft_factored")
+        whole = np.asarray(ops.magnitude_spectrum(audio, so))
+        # budget for exactly one 128-candidate chunk (the floor) -> 2 chunks
+        monkeypatch.setattr(spectral, "FACTORED_CHUNK_BYTES", 28 * n * 128)
+        assert spectral._factored_chunk(n, pop) == 128
+        chunked = np.asarray(ops.magnitude_spectrum(audio, so))
+        np.testing.assert_allclose(chunked, whole, rtol=1e-4, atol=1e-6)
+
+    def test_factored_oracle_parity_and_evaluate_path(self):
+        """End-to-end: a forced-factored config evaluates fitness within
+        the oracle bound, and active_engine labels it."""
+        from pmfm_tpu.es import ESConfig, make_spectrum_ops
+        from pmfm_tpu.es.strategy import active_engine, evaluate
+
+        cfg = ESConfig(
+            num_parents=8, num_offspring=24, num_dimensions=6,
+            audio_length_log2=10, spectrum_method="dft_factored",
+            synthesis_engine="scanless",
+        )
+        so = make_spectrum_ops(cfg)
+        assert so.method == "dft_factored"
+        assert active_engine(cfg, so) == "xla_dft_factored"
+        cfg_r = cfg.replace(spectrum_method="rfft")
+        so_r = make_spectrum_ops(cfg_r)
+        rng = np.random.default_rng(9)
+        vals = jnp.asarray(rng.uniform(size=(32, 6)), jnp.float32)
+        tgt = jnp.asarray(rng.uniform(size=(so.num_bins,)), jnp.float32)
+        f_f = np.asarray(evaluate(vals, tgt, so, cfg))
+        f_r = np.asarray(evaluate(vals, tgt, so_r, cfg_r))
+        assert rel_err(f_f, f_r) < 1e-4
 
     def test_rfft_and_dft_agree(self):
         n = 512

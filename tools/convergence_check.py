@@ -378,6 +378,16 @@ def main(argv=None) -> int:
     # merge previously-run variants of the SAME split (same seed block) in
     # before the paired stats, so incremental runs (e.g. adding one rung
     # later) still pair against the stored f32 baseline
+    run_meta = dict(gens=args.gens, pop=pop, mu=args.mu,
+                    segment_gens=args.segment_gens,
+                    thresholds={k: v for k, v in thr_items},
+                    thresholds_rel=args.thresholds_rel,
+                    mutation_noise=args.mutation_noise,
+                    topology=args.topology,
+                    true_genes=list(TRUE_GENES_BY_TOPOLOGY[args.topology]),
+                    paired="same PRNGKey per seed index across variants "
+                           "(within a split)",
+                    scoring="recovered params re-evaluated under f32/jnp.sin")
     doc = {"meta": {}, "splits": {}}
     if args.json:
         try:
@@ -392,8 +402,22 @@ def main(argv=None) -> int:
             existing.get("seed_offset") == args.seed_offset
             and existing.get("seeds") == args.seeds
         ):
-            for k, v in existing.get("results", {}).items():
-                results.setdefault(k, v)
+            # refuse to pair across different experimental settings: the
+            # stored split's meta (falling back to legacy top-level meta)
+            # must match this run on the result-shaping knobs
+            stored_meta = existing.get("meta") or doc.get("meta") or {}
+            keys = ("gens", "pop", "mu", "topology", "mutation_noise")
+            mismatch = {
+                k: (stored_meta.get(k), run_meta[k])
+                for k in keys
+                if k in stored_meta and stored_meta.get(k) != run_meta[k]
+            }
+            if mismatch:
+                print(f"NOT merging stored split '{split}': settings differ "
+                      f"{mismatch} (stored results would be mis-paired)")
+            else:
+                for k, v in existing.get("results", {}).items():
+                    results.setdefault(k, v)
 
     if "f32" in results:
         base_fits = np.asarray(results["f32"]["fits"])
@@ -418,23 +442,15 @@ def main(argv=None) -> int:
             )
 
     if args.json:
-        meta = dict(gens=args.gens, pop=pop, mu=args.mu,
-                    segment_gens=args.segment_gens,
-                    thresholds={k: v for k, v in thr_items},
-                    thresholds_rel=args.thresholds_rel,
-                    mutation_noise=args.mutation_noise,
-                    topology=args.topology,
-                    true_genes=list(TRUE_GENES_BY_TOPOLOGY[args.topology]),
-                    paired="same PRNGKey per seed index across variants "
-                           "(within a split)",
-                    scoring="recovered params re-evaluated under f32/jnp.sin")
-        # each --split lands under splits[<name>]; disjoint seed blocks
-        # accumulate independently (train = tuning block, holdout = the
-        # frozen-config audit block)
-        doc["meta"] = meta
+        # each --split lands under splits[<name>] WITH ITS OWN meta (the
+        # top-level meta only mirrors the latest run, kept for backwards
+        # compatibility); disjoint seed blocks accumulate independently
+        # (train = tuning block, holdout = the frozen-config audit block)
+        doc["meta"] = run_meta
         doc["splits"][split] = {
             "seed_offset": args.seed_offset,
             "seeds": args.seeds,
+            "meta": run_meta,
             "results": results,
         }
         with open(args.json, "w") as f:

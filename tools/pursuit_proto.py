@@ -1,0 +1,173 @@
+"""Prototype: block-coordinate solver for fm{k}_parallel targets.
+
+The 12-dim fm3_parallel family stalls at ~42% relative spectral error for
+EVERY direct engine (benchmarks/quality_gates_topologies.json: frac 0.0 even
+for f32). The family is separable — the model output is the MEAN of k
+independent 2-op pairs (Evolutionary_Strategy.hpp:450-495) — so this solver
+optimizes one pair's 4-gene block at a time ON THE TRUE OBJECTIVE: candidate
+pair audio/k + the other pairs' frozen estimate audio, magnitude spectrum vs
+the original target. Cyclic sweeps + elitist seeding make each block step
+monotone; a joint 12-dim polish finishes.
+
+Validated here on CPU at small scale before becoming pmfm_tpu/es/staged.py.
+"""
+import sys, time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from pmfm_tpu.es import ESConfig, init_state, make_spectrum_ops
+from pmfm_tpu.es.pipeline import evaluate, evolve
+from pmfm_tpu.es.strategy import ESState, mutate, recombine, select
+from pmfm_tpu.ops import synthesize_single
+from pmfm_tpu.ops.spectral import evaluate_fitness, magnitude_spectrum, target_spectrum
+from pmfm_tpu.ops.synthesis import scale_params, synthesize
+
+TRUE = np.array([0.874, 0.25, 0.857, 0.9,
+                 0.55, 0.30, 0.62, 0.8,
+                 0.71, 0.20, 0.45, 0.7], np.float32)
+K = 3
+POP = 2048
+MU = 64
+PAIR_GENS = 300
+SWEEPS = 3
+JOINT_GENS = 300
+
+base = ESConfig(
+    num_parents=MU, num_offspring=POP - MU, num_dimensions=12,
+    topology="fm3_parallel",
+    param_mins=(0.0,) * 12, param_maxs=(3520.0, 8.0, 3520.0, 1.0) * 3,
+    audio_length_log2=10, synthesis_engine="scanless",
+    spectrum_method="dft", dft_dtype="float32", pop_block=1024,
+)
+pair_cfg = base.replace(
+    num_dimensions=4, topology="fm2",
+    param_mins=(0.0,) * 4, param_maxs=(3520.0, 8.0, 3520.0, 1.0),
+    mutation_noise="clt12_neutral", min_step=1e-4,
+)
+joint_cfg = base.replace(
+    mutation_noise="clt12_neutral", min_step=1e-4, restart_patience=100,
+)
+
+mins = jnp.zeros(12)
+maxs = jnp.asarray(base.param_maxs)
+mins4, maxs4 = mins[:4], maxs[:4]
+truth_scaled = scale_params(jnp.asarray(TRUE)[None], mins, maxs)[0]
+audio = synthesize_single(truth_scaled, base.n_samples, base.topology)
+so = make_spectrum_ops(base)
+tspec = target_spectrum(audio, so)
+tgt_energy = float(np.sum(np.asarray(tspec, np.float64) ** 2))
+thr3 = 0.03 ** 2 * tgt_energy
+print(f"target energy {tgt_energy:.6g}; rel3% thr {thr3:.4g}")
+
+
+def others_audio(est, skip_j):
+    """(1/k) sum_{i != j} s_i: full model with pair j's amp zeroed."""
+    genes = est.copy()
+    genes[skip_j * 4 + 3] = 0.0
+    scaled = scale_params(jnp.asarray(genes)[None], mins, maxs)
+    return synthesize(scaled, base.n_samples, base.topology, engine="scanless")[:, 0]
+
+
+from functools import partial
+
+
+W_OVER = 8.0  # over-explanation penalty in the stage loss
+
+
+@partial(jax.jit, static_argnums=(3,))
+def pair_evolve(key, others, center, gens):
+    """ES over one pair's 4 genes on the joint model, with an ASYMMETRIC
+    spectral loss: bins where the model magnitude exceeds the target are
+    penalized W_OVER x. Rationale: a CORRECT partial decomposition never
+    over-explains the target spectrum (each pair contributes its own comb),
+    while the 'compromise' single-pair solutions that trap the plain
+    objective spread energy onto non-target bins."""
+    def eval_fn(values):
+        scaled = scale_params(values, mins4, maxs4)
+        a = synthesize(scaled, base.n_samples, "fm2", engine="scanless")
+        spec = magnitude_spectrum(a / K + others[:, None], so)
+        d = spec - tspec[None]
+        return jnp.sum(jnp.where(d > 0, W_OVER * d * d, d * d), axis=-1)
+
+    key, k0 = jax.random.split(key)
+    pv = jax.random.uniform(k0, (MU, 4), jnp.float32)
+    # TRUE elitism: the center occupies one parent slot AND its stage loss
+    # initialises best-ever (so a stage can never regress the estimate)
+    pv = pv.at[0].set(center)
+    center_fit = eval_fn(center[None])[0]
+    st = ESState(
+        parent_values=pv,
+        parent_steps=jnp.full((MU, 4), 0.1, jnp.float32),
+        parent_fitness=jnp.full((MU,), jnp.inf, jnp.float32),
+        best_values=center, best_fitness=center_fit,
+        key=key, generation=jnp.asarray(0, jnp.int32),
+        stall=jnp.asarray(0, jnp.int32),
+    )
+
+    def body(s, _):
+        key, k_rec, k_mut = jax.random.split(s.key, 3)
+        v, stp = recombine(k_rec, s.parent_values, s.parent_steps, pair_cfg)
+        v, stp = mutate(k_mut, v, stp, pair_cfg)
+        fit = eval_fn(v)
+        pv, ps, pf = select(v, stp, fit, MU)
+        improved = pf[0] < s.best_fitness
+        return ESState(
+            parent_values=pv, parent_steps=ps, parent_fitness=pf,
+            best_values=jnp.where(improved, pv[0], s.best_values),
+            best_fitness=jnp.where(improved, pf[0], s.best_fitness),
+            key=key, generation=s.generation + 1, stall=s.stall,
+        ), None
+
+    fin, _ = jax.lax.scan(body, st, None, length=gens)
+    return fin.best_values, fin.best_fitness
+
+
+def rescore(genes):
+    return float(evaluate(jnp.asarray(genes)[None], tspec, so, base)[0])
+
+
+wins = 0
+for seed in range(6):
+    t0 = time.time()
+    key = jax.random.PRNGKey(seed)
+    est = np.zeros(12, np.float32)
+    cur = np.inf
+    for sweep in range(SWEEPS):
+        for j in range(K):
+            key, sub = jax.random.split(key)
+            o = others_audio(est, j)
+            center = jnp.asarray(est[j * 4: j * 4 + 4])
+            bv, bf = pair_evolve(sub, o, center, PAIR_GENS)
+            est[j * 4: j * 4 + 4] = np.asarray(bv)
+            cur = float(bf)
+        print(f"  seed {seed} sweep {sweep}: stage loss {cur:.4g} "
+              f"(rescore {rescore(est):.4g})")
+    # joint polish seeded near the estimate
+    key, k_noise, k_run = jax.random.split(key, 3)
+    pv = jnp.clip(jnp.asarray(est)[None]
+                  + 0.02 * jax.random.normal(k_noise, (MU, 12)), 0.0, 1.0
+                  ).astype(jnp.float32)
+    pv = pv.at[0].set(jnp.asarray(est))
+    st = ESState(
+        parent_values=pv, parent_steps=jnp.full((MU, 12), 0.01, jnp.float32),
+        parent_fitness=jnp.full((MU,), jnp.inf, jnp.float32),
+        best_values=jnp.asarray(est),
+        best_fitness=jnp.asarray(cur, jnp.float32),
+        key=k_run, generation=jnp.asarray(0, jnp.int32),
+        stall=jnp.asarray(0, jnp.int32),
+    )
+    fin, _ = evolve(st, tspec, JOINT_GENS, so, joint_cfg)
+    final_fit = rescore(np.asarray(fin.best_values))
+    rel = np.sqrt(final_fit / tgt_energy)
+    ok = final_fit <= thr3
+    wins += ok
+    print(f"seed {seed}: final {final_fit:.4g} (rel {rel:.4f}) "
+          f"{'CONVERGED' if ok else 'no'} {time.time()-t0:.0f}s")
+print(f"{wins}/6 converged at rel 3%")
