@@ -211,7 +211,9 @@ def suite_chunk_size(args, bm):
 
 
 def suite_population(args, bm):
-    for pop_log2 in (11, 13, 15, 17):
+    # 2^18 = BASELINE.json config 4's total population (sharded over v5e-8
+    # in the target deployment; this row is the single-chip capacity proof)
+    for pop_log2 in (11, 13, 15, 17, 18):
         pop = 1 << pop_log2
         mu = max(args.parents, pop // 128)
         cfg = _base_cfg(args, num_parents=mu, num_offspring=pop - mu)
@@ -219,6 +221,50 @@ def suite_population(args, bm):
         name = f"PopulationScaling_2^{pop_log2}"
         bm.add_timer(name, dt * 1e3)
         print(f"{name}: {dt*1e3:.1f}ms ({pop*args.gens/dt/1e6:.2f}M evals/s)")
+        bm.elapsed_timer(name)
+
+
+def suite_multi_target(args, bm):
+    """Batched multi-target matching (BASELINE.json config 5 shape at
+    single-chip scale): ``match_many`` vmaps B independent ES runs — one
+    per target sound — into one device program. Rows give aggregate
+    candidate-evals/s for B=1 vs B=4 (the vmap's batching efficiency)."""
+    import jax
+    import numpy as np
+
+    from .es import ESConfig
+    from .es.pipeline import match_many
+    from .ops import synthesize_single
+
+    pop = 1 << 13  # per-target population (B targets run concurrently)
+    cfg = _base_cfg(args, num_parents=max(64, pop // 128),
+                    num_offspring=pop - max(64, pop // 128))
+    import jax.numpy as jnp
+
+    true_sets = [
+        [3078.0, 2.0, 3015.0, 1.5, 3141.0, 1.0],
+        [2400.0, 3.0, 1800.0, 2.0, 900.0, 4.0],
+        [440.0, 6.0, 880.0, 1.2, 1760.0, 2.5],
+        [3520.0, 1.0, 2637.0, 3.3, 1975.0, 0.8],
+    ]
+    targets = np.stack([
+        np.asarray(synthesize_single(jnp.asarray(p), cfg.n_samples,
+                                     cfg.topology))
+        for p in true_sets
+    ])
+    gens = args.gens
+    for b in (1, 4):
+        t0 = time.time()
+        match_many(targets[:b], cfg, key=0, num_generations=gens)
+        warm = time.time() - t0  # includes compile
+        t0 = time.time()
+        match_many(targets[:b], cfg, key=1, num_generations=gens)
+        dt = time.time() - t0
+        name = f"MultiTarget_B{b}"
+        bm.add_timer(name, dt * 1e3)
+        print(f"{name}: {dt*1e3:.1f}ms for {gens} gens x {b} targets "
+              f"({b*cfg.population_size*gens/dt/1e6:.2f}M evals/s aggregate; "
+              f"first call {warm:.1f}s incl compile)")
         bm.elapsed_timer(name)
 
 
@@ -335,6 +381,7 @@ SUITES = {
     "optimizations": suite_optimizations,
     "topologies": suite_topologies,
     "stft_frames": suite_stft_frames,
+    "multi_target": suite_multi_target,
 }
 
 

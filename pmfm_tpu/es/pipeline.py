@@ -400,6 +400,38 @@ def evolve(
     return final, (traj if record_trajectory else None)
 
 
+def refine_boundary(
+    final: ESState,
+    tspec_r: jax.Array,
+    so_r: spectral.SpectrumOps,
+    cfg: ESConfig,
+    cfg_r: ESConfig,
+) -> ESState:
+    """The fast-engine -> f32 phase transition of the refine tail, shared by
+    ``_evolve_on_target`` and tools/convergence_check.py so the two cannot
+    drift:
+
+    * best-ever is RESCORED under the refine engine (cross-engine fitness
+      scales must not mask/fake improvements);
+    * the best-ever candidate is INJECTED into parent slot 0 — round-3
+      audit: 35/64 holdout seeds were bit-unchanged by the tail because the
+      refine population only contained the final generation's parents
+      (ranked by quantised fitness, possibly drifted off the best basin),
+      so 100 f32 generations around THEIR neighbourhood never beat the
+      separately-tracked best-ever. Polishing around the actual output
+      point engages the tail on every seed that has any f32-downhill
+      neighbour (VERDICT r3 #4);
+    * frozen steps re-open to ``refine_step_floor`` (they re-adapt from
+      there; ESConfig.refine_step_floor rationale).
+    """
+    bf = evaluate(final.best_values[None], tspec_r, so_r, cfg_r)[0]
+    pv = final.parent_values.at[0].set(final.best_values)
+    ps = final.parent_steps
+    if cfg.refine_step_floor > 0.0:
+        ps = jnp.maximum(ps, jnp.float32(cfg.refine_step_floor))
+    return final._replace(best_fitness=bf, parent_values=pv, parent_steps=ps)
+
+
 def _evolve_on_target(
     state: ESState,
     target_audio: jax.Array,
@@ -413,9 +445,8 @@ def _evolve_on_target(
     """evolve (sharded if ``mesh``) against ``target_audio``, with the
     optional PRECISION-ANNEALING tail: the last ``cfg.refine_generations``
     run under the f32/jnp.sin XLA engine against a freshly-computed f32
-    target spectrum (ESConfig.refine_generations rationale). The best-ever
-    fitness is rescored under the refine engine at the phase boundary so
-    cross-engine fitness scales cannot mask/fake improvements."""
+    target spectrum (ESConfig.refine_generations rationale), seeded at the
+    best-ever candidate (refine_boundary)."""
 
     def tspec_for(so_):
         if stft:
@@ -441,13 +472,7 @@ def _evolve_on_target(
         cfg_r = cfg.refine_config()
         so_r = make_spectrum_ops(cfg_r)
         tspec_r = tspec_for(so_r)
-        bf = evaluate(final.best_values[None], tspec_r, so_r, cfg_r)[0]
-        ps = final.parent_steps
-        if cfg.refine_step_floor > 0.0:
-            # re-open the frozen steps so the f32 tail can actually search
-            # (ESConfig.refine_step_floor rationale); they re-adapt from here
-            ps = jnp.maximum(ps, jnp.float32(cfg.refine_step_floor))
-        final = final._replace(best_fitness=bf, parent_steps=ps)
+        final = refine_boundary(final, tspec_r, so_r, cfg, cfg_r)
         final, traj_r = ev(final, tspec_r, refine, so_r, cfg_r)
         if traj is not None and traj_r is not None:
             traj = jnp.concatenate([traj, traj_r])

@@ -357,6 +357,44 @@ class TestRefinePhase:
             jnp.asarray(c.best_params_norm)[None], tspec_r, so_r, cfg_r)[0])
         np.testing.assert_allclose(c.best_fitness, rescored, rtol=1e-3)
 
+    def test_refine_boundary_injects_best_ever(self):
+        """The boundary rescores best-ever under the refine engine AND
+        injects it into parent slot 0 (round-3 audit: without this 55% of
+        holdout seeds were bit-unchanged by the tail — the refine
+        population never contained the output point)."""
+        import jax
+        import jax.numpy as jnp
+
+        from pmfm_tpu.es import ESConfig, init_state, make_spectrum_ops
+        from pmfm_tpu.es.pipeline import refine_boundary
+        from pmfm_tpu.es.strategy import evaluate
+
+        cfg = ESConfig(
+            num_parents=8, num_offspring=24, num_dimensions=6,
+            topology="fm3_series", audio_length_log2=9,
+            synthesis_engine="scanless", spectrum_method="dft",
+            dft_dtype="bfloat16", refine_generations=4,
+            refine_step_floor=0.01,
+        )
+        cfg_r = cfg.refine_config()
+        so_r = make_spectrum_ops(cfg_r)
+        tspec = jnp.ones((so_r.num_bins,), jnp.float32)
+        st = init_state(jax.random.PRNGKey(0), cfg)
+        best = jnp.linspace(0.1, 0.9, 6)
+        st = st._replace(
+            best_values=best,
+            parent_steps=jnp.full_like(st.parent_steps, 1e-6),  # frozen
+        )
+        out = refine_boundary(st, tspec, so_r, cfg, cfg_r)
+        np.testing.assert_array_equal(np.asarray(out.parent_values[0]),
+                                      np.asarray(best))
+        # untouched other parents
+        np.testing.assert_array_equal(np.asarray(out.parent_values[1:]),
+                                      np.asarray(st.parent_values[1:]))
+        assert abs(float(out.parent_steps.min()) - 0.01) < 1e-7  # re-opened
+        want = float(evaluate(best[None], tspec, so_r, cfg_r)[0])
+        np.testing.assert_allclose(float(out.best_fitness), want, rtol=1e-6)
+
     def test_refine_config_is_f32_xla(self):
         from pmfm_tpu.es import ESConfig
 

@@ -306,14 +306,12 @@ def main(argv=None) -> int:
 
             final, bvs = jax.lax.scan(seg, state, None, length=n1)
             if refine:
+                from pmfm_tpu.es.pipeline import refine_boundary
+
                 cfg_r = cfg1.refine_config()
                 so_r = make_spectrum_ops(cfg_r)
                 tspec_r = target_spectrum(audio, so_r)
-                bf = evaluate(final.best_values[None], tspec_r, so_r, cfg_r)[0]
-                ps = final.parent_steps
-                if cfg1.refine_step_floor > 0.0:
-                    ps = jnp.maximum(ps, jnp.float32(cfg1.refine_step_floor))
-                final = final._replace(best_fitness=bf, parent_steps=ps)
+                final = refine_boundary(final, tspec_r, so_r, cfg1, cfg_r)
 
                 def seg_r(s, _):
                     s2, _ = evolve(s, tspec_r, args.segment_gens, so_r, cfg_r)

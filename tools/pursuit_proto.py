@@ -78,23 +78,15 @@ def others_audio(est, skip_j):
 from functools import partial
 
 
-W_OVER = 8.0  # over-explanation penalty in the stage loss
-
-
 @partial(jax.jit, static_argnums=(3,))
 def pair_evolve(key, others, center, gens):
-    """ES over one pair's 4 genes on the joint model, with an ASYMMETRIC
-    spectral loss: bins where the model magnitude exceeds the target are
-    penalized W_OVER x. Rationale: a CORRECT partial decomposition never
-    over-explains the target spectrum (each pair contributes its own comb),
-    while the 'compromise' single-pair solutions that trap the plain
-    objective spread energy onto non-target bins."""
+    """ES over one pair's 4 genes on the joint model (symmetric loss —
+    the diag run showed the symmetric stage optimum IS the dominant true
+    pair, and higher over-penalties only make the landscape harder)."""
     def eval_fn(values):
         scaled = scale_params(values, mins4, maxs4)
         a = synthesize(scaled, base.n_samples, "fm2", engine="scanless")
-        spec = magnitude_spectrum(a / K + others[:, None], so)
-        d = spec - tspec[None]
-        return jnp.sum(jnp.where(d > 0, W_OVER * d * d, d * d), axis=-1)
+        return evaluate_fitness(a / K + others[:, None], tspec, so)
 
     key, k0 = jax.random.split(key)
     pv = jax.random.uniform(k0, (MU, 4), jnp.float32)
@@ -139,14 +131,19 @@ for seed in range(6):
     key = jax.random.PRNGKey(seed)
     est = np.zeros(12, np.float32)
     cur = np.inf
+    TRIES = 2
     for sweep in range(SWEEPS):
         for j in range(K):
-            key, sub = jax.random.split(key)
             o = others_audio(est, j)
             center = jnp.asarray(est[j * 4: j * 4 + 4])
-            bv, bf = pair_evolve(sub, o, center, PAIR_GENS)
-            est[j * 4: j * 4 + 4] = np.asarray(bv)
-            cur = float(bf)
+            best_bv, best_bf = None, np.inf
+            for _ in range(TRIES):
+                key, sub = jax.random.split(key)
+                bv, bf = pair_evolve(sub, o, center, PAIR_GENS)
+                if float(bf) < best_bf:
+                    best_bv, best_bf = np.asarray(bv), float(bf)
+            est[j * 4: j * 4 + 4] = best_bv
+            cur = best_bf
         print(f"  seed {seed} sweep {sweep}: stage loss {cur:.4g} "
               f"(rescore {rescore(est):.4g})")
     # joint polish seeded near the estimate

@@ -1,0 +1,156 @@
+"""Study harness for the fm{k}_parallel matching-pursuit solver
+(pmfm_tpu/es/staged.py) on the known-parameter target.
+
+Per seed: run match_parallel_pursuit, rescore the recovered genes under the
+independent f32/jnp.sin engine, report frac_converged at relative spectral
+error thresholds (BASELINE-style rel = sqrt(fitness / target_energy)).
+
+    python tools/pursuit_study.py --seeds 8 --verbose          # quick look
+    python tools/pursuit_study.py --seeds 32 --seed-offset 64  # holdout
+
+Writes --json (default benchmarks/pursuit_fm3_parallel.json).
+"""
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=8)
+    ap.add_argument("--seed-offset", type=int, default=0)
+    ap.add_argument("--topology", default="fm3_parallel")
+    ap.add_argument("--pop-log2", type=int, default=13)
+    ap.add_argument("--pair-pop-log2", type=int, default=11)
+    ap.add_argument("--sweeps", type=int, default=2)
+    ap.add_argument("--pair-gens", type=int, default=300)
+    ap.add_argument("--pair-tries", type=int, default=2)
+    ap.add_argument("--joint-gens", type=int, default=500)
+    ap.add_argument("--refine-gens", type=int, default=100)
+    ap.add_argument("--thresholds-rel", type=float, nargs="+",
+                    default=[0.03, 0.01, 0.001])
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX platform (e.g. cpu) in-process")
+    ap.add_argument("--engine", default="int8",
+                    choices=("int8", "f32"),
+                    help="joint-polish engine")
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--json", default="benchmarks/pursuit_fm3_parallel.json")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if not jax.config.jax_compilation_cache_dir:
+        from pmfm_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
+
+    import jax.numpy as jnp
+
+    from pmfm_tpu.es import ESConfig, make_spectrum_ops
+    from pmfm_tpu.es.staged import match_parallel_pursuit
+    from pmfm_tpu.es.strategy import evaluate
+    from pmfm_tpu.models import get_topology
+    from pmfm_tpu.ops import synthesize_single
+    from pmfm_tpu.ops.spectral import target_spectrum
+    from pmfm_tpu.ops.synthesis import scale_params
+    from tools.convergence_check import TRUE_GENES_BY_TOPOLOGY
+
+    topo = get_topology(args.topology)
+    pop = 1 << args.pop_log2
+    mu = max(64, pop // 128)
+    engine = (
+        dict(dft_dtype="int8", fused_kernel=True, fused_generation=True)
+        if args.engine == "int8"
+        else dict(dft_dtype="float32")
+    )
+    cfg = ESConfig(
+        num_parents=mu, num_offspring=pop - mu,
+        num_dimensions=topo.num_dimensions, topology=args.topology,
+        param_mins=topo.default_param_mins,
+        param_maxs=topo.default_param_maxs, audio_length_log2=10,
+        synthesis_engine="scanless", spectrum_method="dft", pop_block=1024,
+        mutation_noise="clt12_neutral", min_step=1e-4,
+        restart_patience=100, refine_generations=args.refine_gens,
+        **engine,
+    )
+    truth = jnp.asarray(TRUE_GENES_BY_TOPOLOGY[args.topology])
+    scaled = scale_params(
+        truth[None], jnp.asarray(cfg.param_mins), jnp.asarray(cfg.param_maxs)
+    )[0]
+    audio = synthesize_single(scaled, cfg.n_samples, cfg.topology)
+
+    cfg32 = cfg.replace(dft_dtype="float32", fused_kernel=False,
+                        fused_generation=False, refine_generations=0)
+    so32 = make_spectrum_ops(cfg32)
+    tspec32 = target_spectrum(audio, so32)
+    tgt_energy = float(np.sum(np.asarray(tspec32, np.float64) ** 2))
+    thr = {f"rel{r:g}": r * r * tgt_energy for r in args.thresholds_rel}
+    print(f"target energy {tgt_energy:.6g}; thresholds "
+          + ", ".join(f"{k}={v:.4g}" for k, v in thr.items()), flush=True)
+
+    fits, rels, gens_used = [], [], []
+    t_all = time.time()
+    for s in range(args.seed_offset, args.seed_offset + args.seeds):
+        t0 = time.time()
+        r = match_parallel_pursuit(
+            audio, cfg, key=jax.random.PRNGKey(s),
+            sweeps=args.sweeps, pair_generations=args.pair_gens,
+            pair_tries=args.pair_tries,
+            pair_population=1 << args.pair_pop_log2,
+            joint_generations=args.joint_gens,
+        )
+        f32_fit = float(
+            evaluate(jnp.asarray(r.best_values)[None], tspec32, so32, cfg32)[0]
+        )
+        rel = float(np.sqrt(max(f32_fit, 0.0) / tgt_energy))
+        fits.append(f32_fit)
+        rels.append(rel)
+        gens_used.append(r.generations_used)
+        if args.verbose:
+            print(f"  stage_fitness:\n{np.array2string(r.stage_fitness, precision=5)}")
+        print(f"seed {s}: f32 {f32_fit:.4g} rel {rel:.4f} "
+              f"({'PASS' if f32_fit <= thr['rel0.03'] else 'no'}) "
+              f"{r.generations_used}g {time.time()-t0:.0f}s", flush=True)
+
+    fits = np.asarray(fits)
+    out = {
+        "meta": dict(
+            topology=args.topology, pop=pop, mu=mu,
+            pair_pop=1 << args.pair_pop_log2, sweeps=args.sweeps,
+            pair_gens=args.pair_gens, pair_tries=args.pair_tries,
+            joint_gens=args.joint_gens, refine_gens=args.refine_gens,
+            engine=args.engine, seed_offset=args.seed_offset,
+            seeds=args.seeds, tgt_energy=tgt_energy,
+            true_genes=list(map(float, TRUE_GENES_BY_TOPOLOGY[args.topology])),
+            scoring="f32/jnp.sin rescore",
+        ),
+        "fits": fits.tolist(),
+        "rel_errors": [round(r, 6) for r in rels],
+        "generations_used": gens_used,
+        "frac_converged": {
+            k: float(np.mean(fits <= v)) for k, v in thr.items()
+        },
+        "median_fit": float(np.median(fits)),
+        "median_rel": float(np.median(rels)),
+    }
+    for k, v in out["frac_converged"].items():
+        print(f"{k}: frac_converged {v:.2f}")
+    print(f"median rel {out['median_rel']:.4f}  "
+          f"total {time.time()-t_all:.0f}s")
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {args.json}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
