@@ -48,12 +48,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stft mode: also checkpoint the ES state every N "
                         "generations (resumable mid-run)")
     p.add_argument("--trajectory", action="store_true", help="record per-generation best fitness")
-    p.add_argument("--mode", choices=("chunks", "stft", "parallel-chunks"),
+    p.add_argument("--mode",
+                   choices=("chunks", "stft", "parallel-chunks", "pursuit"),
                    default="chunks",
                    help="chunks: fresh population per chunk, sequential "
                         "(reference semantics); stft: one ES scored over all "
                         "frames; parallel-chunks: all chunk matches run "
-                        "concurrently in one device program (vmapped)")
+                        "concurrently in one device program (vmapped); "
+                        "pursuit: staged decomposition solver per chunk "
+                        "(fm{k}_parallel topologies — the 12-dim family is "
+                        "unsolvable by the direct ES; es/staged.py). A "
+                        "config with tpu.solver='pursuit' selects this by "
+                        "default")
     p.add_argument("--batch", nargs="+", default=None, metavar="WAV",
                    help="match several target WAVs concurrently (vmapped ES "
                         "runs); overrides the config's input")
@@ -116,6 +122,8 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     cfg = run_cfg.es
+    if args.mode == "chunks" and run_cfg.solver == "pursuit":
+        args.mode = "pursuit"
     overrides = {}
     if args.parents is not None:
         overrides["num_parents"] = args.parents
@@ -311,6 +319,54 @@ def main(argv: list[str] | None = None) -> int:
                 record_trajectory=args.trajectory, mesh=mesh,
                 checkpoint_dir=args.checkpoint_dir,
                 checkpoint_every=args.checkpoint_every,
+            )
+        elif args.mode == "pursuit":
+            import jax.numpy as jnp
+
+            from .es.pipeline import ChunkResult, MatchResult
+            from .es.staged import (
+                match_parallel_pursuit, pursuit_kwargs_from_config,
+            )
+            from .ops.synthesis import scale_params
+
+            kw = pursuit_kwargs_from_config(run_cfg.pursuit)
+            n_chunks = len(target) // cfg.n_samples
+            if n_chunks == 0:
+                print("error: target shorter than one frame", file=sys.stderr)
+                return 2
+            mins = jnp.asarray(cfg.param_mins, jnp.float32)
+            maxs = jnp.asarray(cfg.param_maxs, jnp.float32)
+            key = jax.random.PRNGKey(args.seed)
+            chunk_results, out_audio = [], []
+            for i in range(n_chunks):
+                key, sub = jax.random.split(key)
+                frame = np.asarray(
+                    target[i * cfg.n_samples : (i + 1) * cfg.n_samples],
+                    np.float32,
+                )
+                r = match_parallel_pursuit(frame, cfg, key=sub, **kw)
+                best_scaled = np.asarray(
+                    scale_params(
+                        jnp.asarray(r.best_values)[None], mins, maxs
+                    )[0]
+                )
+                chunk_results.append(ChunkResult(
+                    best_params_scaled=best_scaled,
+                    best_params_norm=r.best_values,
+                    best_fitness=r.best_fitness,
+                    generations_run=r.generations_used,
+                    trajectory=None,
+                ))
+                out_audio.append(np.asarray(synthesize_single(
+                    jnp.asarray(best_scaled), cfg.n_samples, cfg.topology,
+                    wavetable_size=cfg.wavetable_size,
+                    sample_rate=cfg.sample_rate, osc_mode=cfg.osc_mode,
+                    engine=cfg.synthesis_engine,
+                )))
+            result = MatchResult(
+                chunks=chunk_results,
+                output_audio=np.concatenate(out_audio),
+                config=cfg,
             )
         elif args.mode == "parallel-chunks":
             from .es import match_many

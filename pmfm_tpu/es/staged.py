@@ -1,42 +1,53 @@
-"""Block-coordinate matching-pursuit solver for ``fm{k}_parallel`` targets.
+"""Staged decomposition solver for ``fm{k}_parallel`` targets.
 
-WHY THIS EXISTS. The parallel model families (three independent 2-op FM
-pairs averaged — synthesisePopulationTripleParallel,
+WHY THIS EXISTS. The parallel model families (k independent 2-op FM pairs
+averaged — synthesisePopulationTripleParallel,
 kernels/ocl_program.cl:388-443 / Objective::synthesiseAudioTriple,
-Evolutionary_Strategy.hpp:450-495 — generalised here to k pairs) defeat the
-direct joint ES at every engine precision: at 12 dimensions ALL engines,
-including plain f32, stall at ~35-55% relative spectral error on 100% of
-seeds (benchmarks/quality_gates_topologies.json, round 3). Diagnostics
-(tools/pursuit_diag.py): the joint landscape's attractors are "compromise"
-solutions whose dense FM combs partially explain all three target combs at
-once; no local move reassigns a compromise pair to a true comb.
+Evolutionary_Strategy.hpp:450-495) defeat the direct joint ES at every
+engine precision: at 12 dimensions ALL engines, including plain f32, stall
+at ~35-55% relative spectral error on 100% of seeds
+(benchmarks/quality_gates_topologies.json, round 3).
 
-THE SOLVER exploits the family's separability instead:
+WHAT THE ROUND-4 DIAGNOSTICS ESTABLISHED (tools/pursuit_diag.py,
+tools/pursuit_stage2_probe.py, tools/pursuit_alias_probe.py — all on the
+known 12-dim target):
 
-* The model output is the MEAN of k independent pairs, so with all but one
-  pair frozen, the joint objective restricted to one pair's 4 genes is an
-  fm2-sized problem — and the 4-dim fm2 match converges on 100% of seeds
-  (quality_gates_topologies.json).
-* Measured key fact (tools/pursuit_diag.py): the single-pair restriction of
-  the TRUE objective has the DOMINANT TRUE PAIR as its global optimum
-  (fitting one pair against the full 3-pair target recovers pair 1 almost
-  exactly; loss 0.0321 at the fit vs 0.0322 at the truth), so a greedy
-  first sweep peels the mixture pair by pair.
-* Each stage is a small ES over one pair's block with the others' audio
-  frozen (block-coordinate descent on the true objective — residuals are
-  EXACT in the time domain, no magnitude-additivity assumption), run
-  ``pair_tries`` times from independent keys keeping the best (the stage
-  landscape has folded-comb aliases that trap ~1/3 of single tries), and
-  ELITIST: the incumbent block is evaluated into best-ever so a stage can
-  never regress the estimate.
-* A final joint polish seeds the full cfg engine (fused int8 kernels, step
-  floor, restarts, refine tail — whatever the config carries) with parents
-  perturbed around the assembled estimate.
+1. Fitting ONE pair against the full 3-comb target has the dominant TRUE
+   pair as its optimum (loss 0.0321 at the fit vs 0.0322 at the truth) —
+   the greedy peel of the first pair is reliable at population >= 2^13
+   with a few independent tries.
+2. Greedy does NOT extend: one pair vs the TWO remaining combs is won by a
+   "compromise" pair (0.0156) that ties the pairs-{0,1}-true waypoint
+   (0.0159) — so pairs after the first must be fit JOINTLY (the 8
+   remaining genes, first pair frozen).
+3. The joint tail converges onto FOLDED-COMB ALIASES: solutions whose
+   carrier sits on a reflected line of the true comb (fc' = |fc - fm|,
+   fc + fm, fc ± 2fm, or fm' = fm + 2fc — e.g. pair1 recovered at fc=250
+   ~= |2182 - 1936| with a compensating index). These are deep local
+   optima (~0.007) unreachable from each other by local moves.
+4. ALIAS JUMPS fix it: propose the reflected (fm, fc) variants per pair,
+   short-polish each, keep the best, iterate — from the measured alias
+   attractor this reaches the global basin in one round and final-polishes
+   to ~1e-8 fitness (0.04% relative spectral error; the direct ES stalls
+   at 38%).
 
-The pair stages run the XLA evaluation path (the joint-model fitness
-"candidate/k + frozen others" is not expressible in the fused synth+DFT
-kernels, whose audio never exists unfolded); they are a few percent of the
-budget at matcher scale, and the joint polish runs the configured engine.
+THE ALGORITHM (k pairs, D = 4k genes):
+
+  peel stages    — for the first k-2 pairs: block-ES over that pair's 4
+                   genes (others frozen, un-fit pairs silent), best of
+                   ``peel_tries`` independent runs, elitist.
+  joint tail     — block-ES over the last TWO pairs' 8 genes jointly
+                   (with stall restarts), best of ``tail_tries``.
+  alias rounds   — reflected-comb jump proposals per pair, each
+                   short-polished with the configured engine; repeat while
+                   improving.
+  final polish   — the full cfg engine (fused int8 kernels, restarts,
+                   refine tail — whatever the config carries) seeded
+                   around the assembled estimate.
+
+The block stages run the XLA f32 evaluation path at their own population
+(a few percent of matcher-scale budget); the alias polishes and the final
+polish run the configured engine at cfg.population_size.
 """
 from __future__ import annotations
 
@@ -47,36 +58,65 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import spectral, synthesis
-from ..ops.synthesis import parallel_pairs, scale_params
+from ..ops import spectral
+from ..ops.synthesis import parallel_pairs
 from .config import ESConfig
-from .strategy import ESState, mutate, recombine, select
-from .pipeline import _evolve_on_target, make_spectrum_ops
+from .strategy import ESState, evaluate, mutate, recombine, select
+from .pipeline import _evolve_on_target, evolve, make_spectrum_ops
+
+
+# "tpu"."pursuit" config block (camelCase, io/config.py) -> kwargs
+CONFIG_KEY_MAP = {
+    "stagePopulation": "stage_population",
+    "peelGenerations": "peel_generations",
+    "peelTries": "peel_tries",
+    "tailGenerations": "tail_generations",
+    "tailTries": "tail_tries",
+    "aliasRounds": "alias_rounds",
+    "aliasGenerations": "alias_generations",
+    "jointGenerations": "joint_generations",
+    "jointSpread": "joint_spread",
+    "jointStep": "joint_step",
+}
+
+
+def pursuit_kwargs_from_config(items) -> dict:
+    """Map the config's camelCase pursuit block (RunConfig.pursuit, stored
+    as sorted (key, value) tuples) to match_parallel_pursuit kwargs."""
+    out = {}
+    for k, v in dict(items).items():
+        if k not in CONFIG_KEY_MAP:
+            raise ValueError(
+                f"unknown tpu.pursuit key {k!r}; options {list(CONFIG_KEY_MAP)}"
+            )
+        snake = CONFIG_KEY_MAP[k]
+        out[snake] = float(v) if snake in ("joint_spread", "joint_step") else int(v)
+    return out
 
 
 class PursuitResult(NamedTuple):
     best_values: np.ndarray  # (D,) normalised genes
     best_fitness: float  # under cfg's scoring engine (f32 if refine tail)
-    stage_fitness: np.ndarray  # (sweeps, k) joint fitness after each stage
-    generations_used: int  # total ES generations across stages + polish
+    stage_fitness: np.ndarray  # joint fitness after each block stage
+    alias_fitness: np.ndarray  # joint fitness after each alias round
+    generations_used: int  # total ES generations across all phases
 
 
-def _pair_cfg(cfg: ESConfig, j: int, pair_population: int | None) -> ESConfig:
-    lo = 4 * j
-    pop = pair_population or cfg.population_size
-    mu = max(16, pop // 32)
+def _block_cfg(cfg: ESConfig, block: tuple, pop: int) -> ESConfig:
+    """ES-hyperparameter config for a block stage (beta = sqrt(1/|block|)
+    etc. follow the BLOCK dimension, the proper Schwefel scaling)."""
+    m = len(block) // 4
+    mu = max(16, pop // 64)
     return cfg.replace(
-        topology="fm2",
-        num_dimensions=4,
-        param_mins=tuple(cfg.param_mins[lo : lo + 4]),
-        param_maxs=tuple(cfg.param_maxs[lo : lo + 4]),
+        topology="fm2" if m == 1 else f"fm{m}_parallel",
+        num_dimensions=len(block),
+        param_mins=tuple(cfg.param_mins[i] for i in block),
+        param_maxs=tuple(cfg.param_maxs[i] for i in block),
         num_parents=mu,
         num_offspring=pop - mu,
-        # stage knobs: neutral-drift adaptation + step floor keep the
-        # 4-dim search alive for the whole stage budget
         mutation_noise="clt12_neutral",
         min_step=1e-4,
-        restart_patience=0,
+        restart_patience=100,
         refine_generations=0,
         fused_kernel=False,
         fused_generation=False,
@@ -84,44 +124,43 @@ def _pair_cfg(cfg: ESConfig, j: int, pair_population: int | None) -> ESConfig:
     )
 
 
+def _eval_cfg(cfg: ESConfig) -> ESConfig:
+    """The block stages' scoring engine: XLA f32 (any population size)."""
+    return cfg.replace(
+        dft_dtype="float32", fused_kernel=False, fused_generation=False,
+        fused_evolve=False, refine_generations=0,
+    )
+
+
 @lru_cache(maxsize=64)
-def _stage_runner(cfg: ESConfig, pcfg: ESConfig, gens: int):
-    """jit: (key, others_audio (N,), center (4,), tspec) -> (best4, fitness).
+def _block_runner(cfg: ESConfig, block: tuple, pop: int, gens: int):
+    """jit: (key, frozen (D,), center (|block|,), tspec) -> (best, fitness).
 
-    ES over one pair's 4 genes; fitness = full-model spectral L2 with the
-    other pairs' summed audio frozen (symmetric loss — the diag run showed
-    over-penalty variants only harden the landscape)."""
-    k = parallel_pairs(cfg.topology)
-    so = make_spectrum_ops(cfg)
-    mins = jnp.asarray(pcfg.param_mins, jnp.float32)
-    maxs = jnp.asarray(pcfg.param_maxs, jnp.float32)
-    mu = pcfg.num_parents
+    ES over ``block``'s genes of the FULL model; genes outside the block
+    stay at ``frozen``. Elitist (the incumbent block is evaluated into
+    best-ever) with stall restarts."""
+    bcfg = _block_cfg(cfg, block, pop)
+    ecfg = _eval_cfg(cfg)
+    so = make_spectrum_ops(ecfg)
+    mu = bcfg.num_parents
+    idx = jnp.asarray(block)
 
-    def eval_fn(values, others, tspec):
-        scaled = scale_params(values, mins, maxs)
-        a = synthesis.synthesize(
-            scaled,
-            cfg.n_samples,
-            "fm2",
-            wavetable_size=cfg.wavetable_size,
-            sample_rate=cfg.sample_rate,
-            osc_mode=cfg.osc_mode,
-            unroll=cfg.scan_unroll,
-            engine=cfg.synthesis_engine,
-        )
-        return spectral.evaluate_fitness(a / k + others[:, None], tspec, so)
+    def eval_fn(values, frozen, tspec):
+        full = jnp.broadcast_to(frozen, (values.shape[0], frozen.shape[0]))
+        full = full.at[:, idx].set(values)
+        return evaluate(full, tspec, so, ecfg)
 
     @jax.jit
-    def run(key, others, center, tspec):
+    def run(key, frozen, center, tspec):
         key, k0 = jax.random.split(key)
-        pv = jax.random.uniform(k0, (mu, 4), jnp.float32)
+        pv = jax.random.uniform(k0, (mu, len(block)), jnp.float32)
         # TRUE elitism: the incumbent block occupies a parent slot AND its
         # fitness initialises best-ever — a stage can never regress
         pv = pv.at[0].set(center)
-        center_fit = eval_fn(center[None], others, tspec)[0]
+        center_fit = eval_fn(center[None], frozen, tspec)[0]
         st = ESState(
             parent_values=pv,
-            parent_steps=jnp.full((mu, 4), 0.1, jnp.float32),
+            parent_steps=jnp.full((mu, len(block)), 0.1, jnp.float32),
             parent_fitness=jnp.full((mu,), jnp.inf, jnp.float32),
             best_values=center,
             best_fitness=center_fit,
@@ -131,17 +170,24 @@ def _stage_runner(cfg: ESConfig, pcfg: ESConfig, gens: int):
         )
 
         def body(s, _):
-            key, k_rec, k_mut = jax.random.split(s.key, 3)
-            v, stp = recombine(k_rec, s.parent_values, s.parent_steps, pcfg)
-            v, stp = mutate(k_mut, v, stp, pcfg)
-            fit = eval_fn(v, others, tspec)
+            key, k_rec, k_mut, k_rst = jax.random.split(s.key, 4)
+            v, stp = recombine(k_rec, s.parent_values, s.parent_steps, bcfg)
+            v, stp = mutate(k_mut, v, stp, bcfg)
+            fit = eval_fn(v, frozen, tspec)
             pv, ps, pf = select(v, stp, fit, mu)
             improved = pf[0] < s.best_fitness
+            stall = jnp.where(improved, 0, s.stall + 1)
+            restart = stall >= bcfg.restart_patience
+            fresh = jax.random.uniform(k_rst, pv.shape, jnp.float32)
+            pv = jnp.where(restart, fresh, pv)
+            ps = jnp.where(restart, jnp.full_like(ps, 0.1), ps)
+            stall = jnp.where(restart, 0, stall)
             return ESState(
                 parent_values=pv, parent_steps=ps, parent_fitness=pf,
                 best_values=jnp.where(improved, pv[0], s.best_values),
                 best_fitness=jnp.where(improved, pf[0], s.best_fitness),
-                key=key, generation=s.generation + 1, stall=s.stall,
+                key=key, generation=s.generation + 1,
+                stall=stall.astype(jnp.int32),
             ), None
 
         fin, _ = jax.lax.scan(body, st, None, length=gens)
@@ -151,32 +197,69 @@ def _stage_runner(cfg: ESConfig, pcfg: ESConfig, gens: int):
 
 
 @lru_cache(maxsize=32)
-def _others_runner(cfg: ESConfig):
-    """jit: (est (D,), j) -> (N,) audio of the full model with pair j's
-    amplitude zeroed — i.e. (1/k) sum_{i != j} s_i, the exact time-domain
-    contribution of the frozen pairs."""
-    mins = jnp.asarray(cfg.param_mins, jnp.float32)
-    maxs = jnp.asarray(cfg.param_maxs, jnp.float32)
-    k = parallel_pairs(cfg.topology)
+def _polish_runner(cfg: ESConfig, gens: int, spread: float, step: float):
+    """jit: (key, est (D,), tspec) -> (best, fitness) — joint ES with the
+    CONFIGURED engine, parents seeded around ``est``."""
+    so = make_spectrum_ops(cfg)
+    mu, d = cfg.num_parents, cfg.num_dimensions
 
     @jax.jit
-    def run(est, j):
-        amp_slots = jnp.arange(cfg.num_dimensions) % 4 == 3
-        zero_j = jnp.arange(cfg.num_dimensions) // 4 == j
-        genes = jnp.where(amp_slots & zero_j, 0.0, est)
-        scaled = scale_params(genes[None], mins, maxs)
-        return synthesis.synthesize(
-            scaled,
-            cfg.n_samples,
-            cfg.topology,
-            wavetable_size=cfg.wavetable_size,
-            sample_rate=cfg.sample_rate,
-            osc_mode=cfg.osc_mode,
-            unroll=cfg.scan_unroll,
-            engine=cfg.synthesis_engine,
-        )[:, 0]
+    def run(key, est, tspec):
+        key, k_noise, k_run = jax.random.split(key, 3)
+        pv = jnp.clip(
+            est[None] + spread * jax.random.normal(k_noise, (mu, d)),
+            0.0, 1.0,
+        ).astype(jnp.float32)
+        pv = pv.at[0].set(est)
+        st = ESState(
+            parent_values=pv,
+            parent_steps=jnp.full((mu, d), step, jnp.float32),
+            parent_fitness=jnp.full((mu,), jnp.inf, jnp.float32),
+            best_values=est,
+            best_fitness=evaluate(est[None], tspec, so, cfg)[0],
+            key=k_run,
+            generation=jnp.asarray(0, jnp.int32),
+            stall=jnp.asarray(0, jnp.int32),
+        )
+        fin, _ = evolve(st, tspec, gens, so, cfg)
+        return fin.best_values, fin.best_fitness
 
     return run
+
+
+def alias_variants(est: np.ndarray, k: int, freq_scale: np.ndarray) -> list:
+    """Reflected folded-comb proposals (diagnostics item 3): per pair,
+    carrier moved by +-1/+-2 mod-freq multiples, the mod freq reflected
+    through twice the carrier, and the (fm, fc) swap. ``freq_scale`` maps
+    each gene to Hz (param_maxs for the fm/fc slots; mins assumed 0)."""
+    out = []
+    for j in range(k):
+        fm_i, fc_i = 4 * j, 4 * j + 2
+        fm = est[fm_i] * freq_scale[fm_i]
+        fc = est[fc_i] * freq_scale[fc_i]
+        cands = [
+            (fm, fc + fm), (fm, abs(fc - fm)),
+            (fm, fc + 2 * fm), (fm, abs(fc - 2 * fm)),
+            (fm + 2 * fc, fc), (abs(fm - 2 * fc), fc),
+            (fc, fm),  # swap
+        ]
+        seen = set()
+        for fm2, fc2 in cands:
+            if not (0.0 < fm2 <= freq_scale[fm_i]):
+                continue
+            if not (0.0 <= fc2 <= freq_scale[fc_i]):
+                continue
+            if abs(fm2 - fm) < 1.0 and abs(fc2 - fc) < 1.0:
+                continue
+            sig = (round(fm2, 1), round(fc2, 1))
+            if sig in seen:
+                continue
+            seen.add(sig)
+            v = est.copy()
+            v[fm_i] = fm2 / freq_scale[fm_i]
+            v[fc_i] = fc2 / freq_scale[fc_i]
+            out.append(v)
+    return out
 
 
 def match_parallel_pursuit(
@@ -184,27 +267,25 @@ def match_parallel_pursuit(
     cfg: ESConfig,
     key: jax.Array | int = 0,
     *,
-    sweeps: int = 2,
-    pair_generations: int = 300,
-    pair_tries: int = 2,
-    pair_population: int | None = None,
+    stage_population: int = 1 << 13,
+    peel_generations: int = 300,
+    peel_tries: int = 3,
+    tail_generations: int = 600,
+    tail_tries: int = 2,
+    alias_rounds: int = 4,
+    alias_generations: int = 150,
     joint_generations: int = 500,
-    joint_spread: float = 0.02,
-    joint_step: float = 0.01,
+    joint_spread: float = 0.01,
+    joint_step: float = 0.005,
 ) -> PursuitResult:
-    """Recover ``fm{k}_parallel`` parameters for one target frame.
+    """Recover ``fm{k}_parallel`` parameters for one target frame (module
+    docstring: peel -> joint tail -> alias jumps -> final polish).
 
     Args:
       target_audio: ``(cfg.n_samples,)`` target frame.
-      cfg: an ``fm{k}_parallel`` ESConfig — the joint polish runs exactly
-        this engine (fused kernels, restarts, refine tail as configured);
-        the pair stages derive their own 4-dim sub-config.
-      sweeps: cyclic passes over the k pair blocks (sweep 0 is the greedy
-        peel; later sweeps re-fit each pair against the improved residual).
-      pair_tries: independent ES runs per stage, best kept (folded-comb
-        aliases trap ~1/3 of single tries — tools/pursuit_diag.py).
-      joint_generations: budget of the final full-dimensional polish
-        (PLUS cfg.refine_generations if set, which ride inside it).
+      cfg: an ``fm{k}_parallel`` ESConfig — alias polishes and the final
+        polish run exactly this engine (fused kernels, restarts, refine
+        tail as configured); block stages derive 4/8-gene sub-configs.
 
     Returns a PursuitResult; ``best_fitness`` is scored by the polish
     engine (the f32 refine engine when cfg.refine_generations > 0).
@@ -219,41 +300,74 @@ def match_parallel_pursuit(
         key = jax.random.PRNGKey(key)
     target_audio = jnp.asarray(target_audio, jnp.float32)
     if target_audio.shape != (cfg.n_samples,):
-        raise ValueError(
-            f"target must be one frame of {cfg.n_samples} samples"
-        )
-    so = make_spectrum_ops(cfg)
-    tspec = spectral.target_spectrum(target_audio, so)
-    others_fn = _others_runner(cfg)
+        raise ValueError(f"target must be one frame of {cfg.n_samples} samples")
 
-    est = np.zeros(cfg.num_dimensions, np.float32)  # amps 0: silent pairs
-    stage_fit = np.zeros((sweeps, k), np.float32)
+    ecfg = _eval_cfg(cfg)
+    so_e = make_spectrum_ops(ecfg)
+    tspec_e = spectral.target_spectrum(target_audio, so_e)
+    so_p = make_spectrum_ops(cfg)
+    tspec_p = spectral.target_spectrum(target_audio, so_p)
+
+    d = cfg.num_dimensions
+    est = np.zeros(d, np.float32)  # amps 0: un-fit pairs are silent
     gens_used = 0
-    for sweep in range(sweeps):
-        for j in range(k):
-            pcfg = _pair_cfg(cfg, j, pair_population)
-            # stage spectrum ops follow the PAIR config's frame (same n)
-            runner = _stage_runner(cfg, pcfg, pair_generations)
-            others = others_fn(est, jnp.asarray(j))
-            center = jnp.asarray(est[4 * j : 4 * j + 4])
-            best_bv, best_bf = None, np.inf
-            for _ in range(pair_tries):
-                key, sub = jax.random.split(key)
-                bv, bf = runner(sub, others, center, tspec)
-                gens_used += pair_generations
-                if float(bf) < best_bf:
-                    best_bv, best_bf = np.asarray(bv), float(bf)
-            est[4 * j : 4 * j + 4] = best_bv
-            stage_fit[sweep, j] = best_bf
+    stage_fit = []
 
-    # joint polish: cfg's engine seeded around the assembled estimate
+    def run_block(block, tries, gens, key):
+        nonlocal gens_used
+        runner = _block_runner(cfg, block, stage_population, gens)
+        frozen = jnp.asarray(est)
+        center = jnp.asarray(est[list(block)])
+        best_bv, best_bf = None, np.inf
+        for _ in range(tries):
+            key, sub = jax.random.split(key)
+            bv, bf = runner(sub, frozen, center, tspec_e)
+            gens_used += gens
+            if float(bf) < best_bf:
+                best_bv, best_bf = np.asarray(bv), float(bf)
+        est[list(block)] = best_bv
+        stage_fit.append(best_bf)
+        return key
+
+    # peel the first k-2 pairs one at a time (1-vs->=3 is won by the
+    # dominant true pair; 1-vs-2 is NOT — diagnostics items 1-2)
+    for j in range(max(k - 2, 0)):
+        key = run_block(tuple(range(4 * j, 4 * j + 4)), peel_tries,
+                        peel_generations, key)
+    # joint tail over the last two pairs' 8 genes
+    tail_block = tuple(range(4 * max(k - 2, 0), d))
+    key = run_block(tail_block, tail_tries, tail_generations, key)
+
+    # alias-jump rounds with the configured engine
+    freq_scale = np.asarray(cfg.param_maxs, np.float32)
+    polish = _polish_runner(cfg, alias_generations, joint_spread, joint_step)
+    cur = np.inf  # rescored under the cfg engine by the incumbent polish
+    alias_fit = []
+    for _ in range(alias_rounds):
+        # the incumbent leads the candidate list so it gets the same
+        # polish budget as the proposals (and converts cur onto the cfg
+        # engine's fitness scale on the first round)
+        cands = [est.copy()] + alias_variants(est, k, freq_scale)
+        best_v, best_f = est, cur
+        for v in cands:
+            key, sub = jax.random.split(key)
+            bv, bf = polish(sub, jnp.asarray(v), tspec_p)
+            gens_used += alias_generations
+            if float(bf) < best_f:
+                best_v, best_f = np.asarray(bv), float(bf)
+        improved = best_f < cur * (1.0 - 1e-4)
+        est, cur = best_v, best_f
+        alias_fit.append(cur)
+        if not improved:
+            break
+
+    # final polish: cfg engine + optional refine tail around the estimate
     key, k_noise, k_run = jax.random.split(key, 3)
-    mu, d = cfg.num_parents, cfg.num_dimensions
+    mu = cfg.num_parents
     est_j = jnp.asarray(est)
     pv = jnp.clip(
         est_j[None] + joint_spread * jax.random.normal(k_noise, (mu, d)),
-        0.0,
-        1.0,
+        0.0, 1.0,
     ).astype(jnp.float32)
     pv = pv.at[0].set(est_j)
     state = ESState(
@@ -261,18 +375,19 @@ def match_parallel_pursuit(
         parent_steps=jnp.full((mu, d), joint_step, jnp.float32),
         parent_fitness=jnp.full((mu,), jnp.inf, jnp.float32),
         best_values=est_j,
-        best_fitness=jnp.asarray(stage_fit[-1, -1], jnp.float32),
+        best_fitness=jnp.asarray(cur, jnp.float32),
         key=k_run,
         generation=jnp.asarray(0, jnp.int32),
         stall=jnp.asarray(0, jnp.int32),
     )
     final, _ = _evolve_on_target(
-        state, target_audio, joint_generations, so, cfg, None, False, False
+        state, target_audio, joint_generations, so_p, cfg, None, False, False
     )
     gens_used += joint_generations
     return PursuitResult(
         best_values=np.asarray(final.best_values),
         best_fitness=float(final.best_fitness),
-        stage_fitness=stage_fit,
+        stage_fitness=np.asarray(stage_fit, np.float32),
+        alias_fitness=np.asarray(alias_fit, np.float32),
         generations_used=gens_used,
     )

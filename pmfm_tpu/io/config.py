@@ -44,7 +44,14 @@ TPU extension section (all optional)::
     "operandCacheDir": null,        # disk cache for large-frame DFT operands
                                     # (n >= 16384; ~2 min build -> ~3 s load)
     "meshShape": [8],               # population-sharding mesh (parallel/)
-    "meshAxisNames": ["pop"]
+    "meshAxisNames": ["pop"],
+    "solver": "evolve",             # "pursuit" = staged decomposition solver
+                                    # for fm{k}_parallel (es/staged.py)
+    "pursuit": {                    # optional pursuit tuning (all optional)
+      "stagePopulation": 8192, "peelGenerations": 300, "peelTries": 3,
+      "tailGenerations": 600, "tailTries": 2, "aliasRounds": 4,
+      "aliasGenerations": 150, "jointGenerations": 500
+    }
   }
 """
 from __future__ import annotations
@@ -78,6 +85,14 @@ class RunConfig:
     # tpu extensions
     mesh_shape: tuple[int, ...] = ()
     mesh_axis_names: tuple[str, ...] = ("pop",)
+    # "evolve" (default) or "pursuit" — the staged decomposition solver for
+    # fm{k}_parallel targets (es/staged.py; the 12-dim family is unsolvable
+    # by the direct joint ES at any precision). Selecting it in the config
+    # makes the CLI's default mode the pursuit matcher.
+    solver: str = "evolve"
+    # optional tuning knobs for the pursuit solver ("tpu"."pursuit" block,
+    # camelCase like the rest of the schema; es/staged.py maps them)
+    pursuit: tuple = ()
 
 
 def _topology_for_dims(d: int) -> str:
@@ -167,4 +182,6 @@ def parse_config(j: dict[str, Any]) -> RunConfig:
         input_audio_path=typ.get("audio", "input_audio/input.wav"),
         mesh_shape=tuple(int(x) for x in tpu.get("meshShape", [])),
         mesh_axis_names=tuple(tpu.get("meshAxisNames", ["pop"])),
+        solver=tpu.get("solver", "evolve"),
+        pursuit=tuple(sorted(dict(tpu.get("pursuit", {})).items())),
     )

@@ -96,6 +96,14 @@ VARIANTS = {
                     fused_generation=True, mutation_noise="clt12_neutral",
                     min_step=1e-4, restart_patience=100,
                     refine_generations=100),
+    # the staged decomposition solver (es/staged.py) — fm{k}_parallel
+    # topologies only; its OWN stage/alias/polish budget (meta-documented)
+    # rather than the plain --gens evolve loop, so gens-to-converge is
+    # reported at a single final boundary = total generations consumed
+    "pursuit": dict(_pursuit=True, dft_dtype="int8", fused_kernel=True,
+                    fused_generation=True, mutation_noise="clt12_neutral",
+                    min_step=1e-4, restart_patience=100,
+                    refine_generations=100),
 }
 # sine-order sweep aliases (same configs, shorter names)
 VARIANTS["sin9"] = VARIANTS["int8"]
@@ -281,7 +289,55 @@ def main(argv=None) -> int:
 
     results = {}
     for name in args.variants:
-        cfg = base.replace(**VARIANTS[name])
+        over = dict(VARIANTS[name])
+        is_pursuit = over.pop("_pursuit", False)
+        if is_pursuit:
+            from pmfm_tpu.es.staged import match_parallel_pursuit
+            from pmfm_tpu.ops.synthesis import parallel_pairs
+
+            if parallel_pairs(args.topology) is None:
+                print(f"{name}: SKIP (needs an fm{{k}}_parallel topology, "
+                      f"got {args.topology})")
+                continue
+            cfg = base.replace(**over)
+            finals, gens_list = [], []
+            t0 = time.time()
+            for s in range(args.seed_offset, args.seed_offset + args.seeds):
+                r = match_parallel_pursuit(audio, cfg,
+                                           key=jax.random.PRNGKey(s))
+                finals.append(r.best_values)
+                gens_list.append(r.generations_used)
+            finals = np.stack(finals)
+            fits = np.asarray(rescore_batch(jnp.asarray(finals)), np.float64)
+            boundaries = [int(max(gens_list))]
+            seg_fits = fits[:, None]
+            results[name] = {
+                "median": float(np.median(fits)),
+                "mean": float(fits.mean()),
+                "min": float(fits.min()),
+                "max": float(fits.max()),
+                "fits": fits.tolist(),
+                "boundaries_gens": boundaries,
+                "generations_used": gens_list,
+                "rescored_trajectory": np.round(seg_fits, 6).tolist(),
+                "generations_to_converge": {
+                    key: gens_to_converge(seg_fits, boundaries, t)
+                    for key, t in thr_items
+                },
+                "solver": "match_parallel_pursuit (es/staged.py, default "
+                          "knobs; own stage/alias budget — see "
+                          "generations_used)",
+            }
+            print(
+                "%-16s median=%.4g mean=%.4g [%.4g, %.4g]  (%d seeds @%d, "
+                "%.1fs; f32-rescored; pursuit budget ~%d gens/seed)"
+                % (name, np.median(fits), fits.mean(), fits.min(),
+                   fits.max(), args.seeds, args.seed_offset,
+                   time.time() - t0, int(np.mean(gens_list))),
+                flush=True,
+            )
+            continue
+        cfg = base.replace(**over)
         so = make_spectrum_ops(cfg)
         tspec = target_spectrum(audio, so)
         refine = (

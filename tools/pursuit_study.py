@@ -28,10 +28,13 @@ def main(argv=None):
     ap.add_argument("--seed-offset", type=int, default=0)
     ap.add_argument("--topology", default="fm3_parallel")
     ap.add_argument("--pop-log2", type=int, default=13)
-    ap.add_argument("--pair-pop-log2", type=int, default=11)
-    ap.add_argument("--sweeps", type=int, default=2)
-    ap.add_argument("--pair-gens", type=int, default=300)
-    ap.add_argument("--pair-tries", type=int, default=2)
+    ap.add_argument("--stage-pop-log2", type=int, default=13)
+    ap.add_argument("--peel-gens", type=int, default=300)
+    ap.add_argument("--peel-tries", type=int, default=3)
+    ap.add_argument("--tail-gens", type=int, default=600)
+    ap.add_argument("--tail-tries", type=int, default=2)
+    ap.add_argument("--alias-rounds", type=int, default=4)
+    ap.add_argument("--alias-gens", type=int, default=150)
     ap.add_argument("--joint-gens", type=int, default=500)
     ap.add_argument("--refine-gens", type=int, default=100)
     ap.add_argument("--thresholds-rel", type=float, nargs="+",
@@ -102,9 +105,11 @@ def main(argv=None):
         t0 = time.time()
         r = match_parallel_pursuit(
             audio, cfg, key=jax.random.PRNGKey(s),
-            sweeps=args.sweeps, pair_generations=args.pair_gens,
-            pair_tries=args.pair_tries,
-            pair_population=1 << args.pair_pop_log2,
+            stage_population=1 << args.stage_pop_log2,
+            peel_generations=args.peel_gens, peel_tries=args.peel_tries,
+            tail_generations=args.tail_gens, tail_tries=args.tail_tries,
+            alias_rounds=args.alias_rounds,
+            alias_generations=args.alias_gens,
             joint_generations=args.joint_gens,
         )
         f32_fit = float(
@@ -115,7 +120,8 @@ def main(argv=None):
         rels.append(rel)
         gens_used.append(r.generations_used)
         if args.verbose:
-            print(f"  stage_fitness:\n{np.array2string(r.stage_fitness, precision=5)}")
+            print(f"  stage_fitness {np.array2string(r.stage_fitness, precision=5)} "
+                  f"alias_fitness {np.array2string(r.alias_fitness, precision=5)}")
         print(f"seed {s}: f32 {f32_fit:.4g} rel {rel:.4f} "
               f"({'PASS' if f32_fit <= thr['rel0.03'] else 'no'}) "
               f"{r.generations_used}g {time.time()-t0:.0f}s", flush=True)
@@ -124,8 +130,10 @@ def main(argv=None):
     out = {
         "meta": dict(
             topology=args.topology, pop=pop, mu=mu,
-            pair_pop=1 << args.pair_pop_log2, sweeps=args.sweeps,
-            pair_gens=args.pair_gens, pair_tries=args.pair_tries,
+            stage_pop=1 << args.stage_pop_log2,
+            peel_gens=args.peel_gens, peel_tries=args.peel_tries,
+            tail_gens=args.tail_gens, tail_tries=args.tail_tries,
+            alias_rounds=args.alias_rounds, alias_gens=args.alias_gens,
             joint_gens=args.joint_gens, refine_gens=args.refine_gens,
             engine=args.engine, seed_offset=args.seed_offset,
             seeds=args.seeds, tgt_energy=tgt_energy,
