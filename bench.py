@@ -215,18 +215,22 @@ def _generations_to_converge():
         for split in ("holdout", "train"):
             blk = data.get("splits", {}).get(split)
             if blk and "int8+sin7" in blk.get("results", {}):
-                gtc = blk["results"]["int8+sin7"]["generations_to_converge"]
-                return {
-                    "split": split,
-                    "seeds": blk["seeds"],
-                    "per_threshold": {
+                out = {"split": split, "seeds": blk["seeds"]}
+                # the raw bench engine AND its +refine rung (the cheap f32
+                # tail that round 4 made engage: neutral-noise polish
+                # seeded at best-ever — es/config.refine_config docstring)
+                for rung in ("int8+sin7", "int8+sin7+refine"):
+                    if rung not in blk["results"]:
+                        continue
+                    gtc = blk["results"][rung]["generations_to_converge"]
+                    out[rung] = {
                         t: {
                             "median_gens": v.get("median_gens"),
                             "frac_converged": v["frac_converged"],
                         }
                         for t, v in gtc.items()
-                    },
-                }
+                    }
+                return out
         return None
     except Exception:
         return None

@@ -179,7 +179,7 @@ def suite_chunk_size(args, bm):
     from .es.strategy import active_engine
 
     def row(log2, name, **over):
-        pop_l2 = 13 if log2 >= 16 else 15
+        pop_l2 = 15 if log2 <= 15 else (13 if log2 == 16 else 12)
         over.setdefault("num_parents", args.parents)
         over.setdefault("num_offspring", (1 << pop_l2) - args.parents)
         cfg = _base_cfg(args, audio_length_log2=log2, **over)
@@ -197,9 +197,11 @@ def suite_chunk_size(args, bm):
               f"({cfg.population_size*gens/dt/1e6:.2f}M evals/s)")
         bm.elapsed_timer(name)
 
-    for log2 in (9, 10, 11, 12, 13, 14, 15, 16):
+    # 2^16/2^17 run the four-step FACTORED DFT (spectral.FactoredOps; the
+    # round-3 rfft fallback measured 918 ms/gen at 2^16 pop 2^13)
+    for log2 in (9, 10, 11, 12, 13, 14, 15, 16, 17):
         row(log2, "AudioAnalysisChunkSize")
-    for log2 in (13, 14, 15):  # whole-generation rfft comparison
+    for log2 in (13, 14, 15, 16):  # whole-generation rfft comparison
         try:
             row(log2, "AudioAnalysisChunkSize", spectrum_method="rfft",
                 fused_kernel=False, fused_generation=False)

@@ -11,6 +11,7 @@ from .pipeline import (
     match_audio_stft,
     match_many,
 )
+from .staged import PursuitResult, match_parallel_pursuit
 from .strategy import ESState, evaluate, init_state, mutate, recombine, select
 
 __all__ = [
@@ -19,6 +20,7 @@ __all__ = [
     "ESState",
     "MatchResult",
     "Population",
+    "PursuitResult",
     "evaluate",
     "evolve",
     "generation_step",
@@ -27,6 +29,7 @@ __all__ = [
     "match_audio",
     "match_audio_stft",
     "match_many",
+    "match_parallel_pursuit",
     "mutate",
     "recombine",
     "select",
