@@ -31,7 +31,7 @@ TPU extension section (all optional)::
     "gensPerStep": 1,               # fusedEvolve: generations per grid step
     "popBlock": 512,                # candidates per fused-kernel program
     "oscMode": "floor",             # floor | exact | table
-    "spectrumMethod": "dft",        # dft | rfft | auto
+    "spectrumMethod": "dft",        # dft | rfft | dft_factored | auto
     "recombineMode": "gather",      # gather | compat_shuffle | off
     "mutationNoise": "clt12",       # clt12 | normal | clt12_neutral | normal_unit
     "minStep": 0.0,                 # mutation step floor (0 = reference)

@@ -64,6 +64,11 @@ TRUE_GENES_BY_TOPOLOGY = {
     "fm3_parallel": (0.874, 0.25, 0.857, 0.9,
                      0.55, 0.30, 0.62, 0.8,
                      0.71, 0.20, 0.45, 0.7),
+    # 4 pairs / 16 genes — the pursuit-solver generalisation gate
+    "fm4_parallel": (0.874, 0.25, 0.857, 0.9,
+                     0.55, 0.30, 0.62, 0.8,
+                     0.71, 0.20, 0.45, 0.7,
+                     0.33, 0.40, 0.28, 0.6),
 }
 TRUE_GENES = TRUE_GENES_BY_TOPOLOGY["fm3_series"]
 

@@ -76,12 +76,23 @@ def build(pop, mu, variant):
 
 key = jax.random.PRNGKey(0)
 print(f"backend={jax.default_backend()}", flush=True)
-cases = [(p, m, v)
-         for p in (1 << 17, 1 << 15)
-         for m in (1024, 256)
-         for v in ("full", "topk", "neg_only", "gather", "two_stage")]
-if len(sys.argv) > 1:  # optional slice for incremental runs
-    cases = cases[int(sys.argv[1]):int(sys.argv[2])]
+POPS = (1 << 17, 1 << 15)
+MUS = (1024, 256)
+VARIANTS = ("full", "topk", "neg_only", "gather", "two_stage")
+# optional overrides: tpu_select_probe.py [pops=18,17] [mus=2048,256]
+# [variants=full,two_stage] or two ints to slice the case list
+argv = sys.argv[1:]
+slice_args = [a for a in argv if a.isdigit()]
+for a in argv:
+    if a.startswith("pops="):
+        POPS = tuple(1 << int(x) for x in a[5:].split(","))
+    elif a.startswith("mus="):
+        MUS = tuple(int(x) for x in a[4:].split(","))
+    elif a.startswith("variants="):
+        VARIANTS = tuple(a[9:].split(","))
+cases = [(p, m, v) for p in POPS for m in MUS for v in VARIANTS]
+if slice_args:  # optional slice for incremental runs
+    cases = cases[int(slice_args[0]):int(slice_args[1])]
 data = {}
 for pop, mu, variant in cases:
     if pop not in data:
