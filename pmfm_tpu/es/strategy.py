@@ -241,11 +241,18 @@ def _fused_vmem_bytes(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> int:
     eb = 1 if int8_mode else 2  # element bytes of the folded operand/audio
     dft_bytes = 2 * k * (n // 2) * eb  # folded operand
     scratch_bytes = 2 * (n // 2) * pb * eb  # a+ / a-
-    # params/target/tri/fitness, the generation kernel's (D, P) offspring
-    # outputs, + double-buffering headroom
+    vr = -(-cfg.num_dimensions // 8) * 8  # offspring rows, sublane-padded
+    # Per-array residency matching kernels/generation.py's actual specs:
+    # fitness output rides a FULL index map (4*pop); the (VR, P) offspring
+    # outputs are BLOCKED (VR, PB) per program (double-buffered, pop-
+    # independent — counting them at 8*D*pop here silently degraded
+    # pop 2^18 to the XLA path at 2.8x the cost, round-4 bisect probes);
+    # parent operands bind whole at mu scale; plus params/target blocks
+    # and fixed headroom.
     other = (
         4 * (cfg.num_dimensions * pb + k * cfg.num_frames + pop)
-        + 8 * cfg.num_dimensions * pop
+        + 8 * cfg.num_dimensions * cfg.num_parents
+        + 2 * (8 * vr * pb + 4 * pb)
         + (1 << 20)
     )
     return dft_bytes + scratch_bytes + other

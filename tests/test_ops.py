@@ -186,6 +186,17 @@ class TestSpectrum:
         c = cfg(10).replace(fused_kernel=False, fused_generation=False,
                             num_frames=4)
         assert active_engine(c, mk(c)) == "xla_stft"
+        # pop 2^18 (BASELINE config 4's total population): the fused kernel
+        # must NOT be VMEM-gated off — its offspring outputs are blocked
+        # (VR, PB) per program, so the footprint is pop-independent apart
+        # from the full-map fitness output. The stale 8*D*pop estimate
+        # silently degraded 2^18 to the XLA path at 2.8x the cost
+        # (round-4 bisect: 13.3 vs 4.8 ms/gen on hardware).
+        from pmfm_tpu.es.strategy import _fused_ok
+
+        c = cfg(10, pop_log2=18).replace(num_parents=2048)
+        assert _fused_ok(c, mk(c))
+        assert active_engine(c, mk(c)) == "fused_kernel"  # cpu-backend label
 
     @pytest.mark.parametrize("n", [1024, 2048])  # even and odd log2(n)
     def test_factored_matches_rfft(self, n):
