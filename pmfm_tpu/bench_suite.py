@@ -94,6 +94,9 @@ def _base_cfg(args, **over):
         dft_dtype="bfloat16",
         fused_kernel=args.fused,
         pop_block=1024,  # tuned bench value (CLAUDE.md perf notes)
+        # large-frame rows (chunk_size n>=16384): the O(N^2) operand build
+        # is ~2 min of host f64 trig per (n, bins, dtype) — cache on disk
+        operand_cache_dir=getattr(args, "operand_cache", None),
     )
     kw.update(ENGINES[getattr(args, "engine", "default")])
     kw.update(over)
@@ -400,6 +403,9 @@ def main(argv=None):
                     help="engine preset: 'flagship' = the bench.py config "
                          "(folded int8 + fused generation + order-7 sine)")
     ap.add_argument("--csv", default=None, help="CSV output path")
+    ap.add_argument("--operand-cache", default=None, metavar="DIR",
+                    help="disk cache for large-frame DFT operands "
+                         "(ESConfig.operand_cache_dir)")
     args = ap.parse_args(argv)
 
     from .utils import Benchmarker
