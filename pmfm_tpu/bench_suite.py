@@ -178,6 +178,8 @@ def suite_chunk_size(args, bm):
     the population (annotated) to keep the audio + spectra in HBM —
     reference analog: parameters.json:13 accepts arbitrary
     audioLengthLog2 at its default pop 32."""
+    import jax  # the rfft-comparison except clause below names jax.errors
+
     from .es import make_spectrum_ops
     from .es.strategy import active_engine
 
