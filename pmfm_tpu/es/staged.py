@@ -38,6 +38,14 @@ THE ALGORITHM (k pairs, D = 4k genes):
                    ``peel_tries`` independent runs, elitist.
   joint tail     — block-ES over the last TWO pairs' 8 genes jointly
                    (with stall restarts), best of ``tail_tries``.
+  repair rounds  — (k >= 4; ``repair_rounds``) every unordered PAIR of
+                   pair blocks re-fit jointly (8 genes, random-init
+                   elitist) with the others frozen; repeat while a round
+                   improves. Fixes the k=4 failure mode where the first
+                   peel merges two overlapping true combs into one
+                   compromise pair — a joint attractor that single-block
+                   backfit provably cannot leave (measured a strict
+                   no-op) and single-pair alias proposals cannot reach.
   alias rounds   — reflected-comb jump proposals per pair, each
                    short-polished with the configured engine; repeat while
                    improving.
@@ -77,6 +85,8 @@ CONFIG_KEY_MAP = {
     "jointGenerations": "joint_generations",
     "jointSpread": "joint_spread",
     "jointStep": "joint_step",
+    "repairRounds": "repair_rounds",
+    "repairGenerations": "repair_generations",
 }
 
 
@@ -277,6 +287,8 @@ def match_parallel_pursuit(
     joint_generations: int = 500,
     joint_spread: float = 0.01,
     joint_step: float = 0.005,
+    repair_rounds: int = 0,
+    repair_generations: int = 400,
 ) -> PursuitResult:
     """Recover ``fm{k}_parallel`` parameters for one target frame (module
     docstring: peel -> joint tail -> alias jumps -> final polish).
@@ -337,6 +349,28 @@ def match_parallel_pursuit(
     # joint tail over the last two pairs' 8 genes
     tail_block = tuple(range(4 * max(k - 2, 0), d))
     key = run_block(tail_block, tail_tries, tail_generations, key)
+
+    # pairwise joint repair (k >= 4): with four overlapping combs the
+    # FIRST peel can land on a compromise between two true pairs (measured
+    # on the fm4 target: est pair 0 merged true pairs 1+2 while the second
+    # peel then nailed true pair 0 exactly), leaving TWO pairs jointly
+    # wrong. Single-block coordinate descent cannot fix that (backfit
+    # cycles measured a strict no-op — the compromise IS the conditional
+    # optimum), and alias proposals move one pair at a time. The k=3
+    # design's own lesson ("coupled pairs must be fit jointly" — module
+    # docstring item 2) generalises: re-fit every unordered PAIR of pair
+    # blocks (8 genes, random-init elitist ES, others frozen) and keep
+    # improvements; stop when a full round stalls.
+    for _ in range(repair_rounds):
+        before = stage_fit[-1]
+        for j1 in range(k):
+            for j2 in range(j1 + 1, k):
+                block = tuple(range(4 * j1, 4 * j1 + 4)) + tuple(
+                    range(4 * j2, 4 * j2 + 4)
+                )
+                key = run_block(block, 1, repair_generations, key)
+        if stage_fit[-1] >= before * (1.0 - 1e-3):
+            break
 
     # alias-jump rounds with the configured engine
     freq_scale = np.asarray(cfg.param_maxs, np.float32)

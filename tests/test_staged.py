@@ -54,9 +54,26 @@ class TestAliasVariants:
 
 class TestConfigMapping:
     def test_roundtrip(self):
-        items = (("aliasRounds", 3), ("peelTries", 2), ("jointStep", 0.02))
+        items = (("aliasRounds", 3), ("peelTries", 2), ("jointStep", 0.02),
+                 ("repairRounds", 3))
         kw = pursuit_kwargs_from_config(items)
-        assert kw == {"alias_rounds": 3, "peel_tries": 2, "joint_step": 0.02}
+        assert kw == {"alias_rounds": 3, "peel_tries": 2, "joint_step": 0.02,
+                      "repair_rounds": 3}
+
+    def test_fm4_example_config_parses(self):
+        """examples/fm4_parallel_match.json (the k=4 pursuit recipe: repair
+        rounds + escalated alias/tail budgets) parses and maps cleanly."""
+        import json as _json
+
+        from pmfm_tpu.io.config import parse_config
+
+        with open("examples/fm4_parallel_match.json") as f:
+            rc = parse_config(_json.load(f))
+        assert rc.solver == "pursuit"
+        assert rc.es.topology == "fm4_parallel"
+        assert rc.es.num_dimensions == 16
+        kw = pursuit_kwargs_from_config(rc.pursuit)
+        assert kw == {"repair_rounds": 3, "alias_rounds": 6, "tail_tries": 3}
 
     def test_unknown_key_raises(self):
         with pytest.raises(ValueError, match="unknown tpu.pursuit key"):

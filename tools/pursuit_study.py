@@ -36,6 +36,8 @@ def main(argv=None):
     ap.add_argument("--alias-rounds", type=int, default=4)
     ap.add_argument("--alias-gens", type=int, default=150)
     ap.add_argument("--joint-gens", type=int, default=500)
+    ap.add_argument("--repair-rounds", type=int, default=0)
+    ap.add_argument("--repair-gens", type=int, default=400)
     ap.add_argument("--refine-gens", type=int, default=100)
     ap.add_argument("--thresholds-rel", type=float, nargs="+",
                     default=[0.03, 0.01, 0.001])
@@ -111,6 +113,8 @@ def main(argv=None):
             alias_rounds=args.alias_rounds,
             alias_generations=args.alias_gens,
             joint_generations=args.joint_gens,
+            repair_rounds=args.repair_rounds,
+            repair_generations=args.repair_gens,
         )
         f32_fit = float(
             evaluate(jnp.asarray(r.best_values)[None], tspec32, so32, cfg32)[0]
@@ -135,6 +139,8 @@ def main(argv=None):
             tail_gens=args.tail_gens, tail_tries=args.tail_tries,
             alias_rounds=args.alias_rounds, alias_gens=args.alias_gens,
             joint_gens=args.joint_gens, refine_gens=args.refine_gens,
+            repair_rounds=args.repair_rounds,
+            repair_gens=args.repair_gens,
             engine=args.engine, seed_offset=args.seed_offset,
             seeds=args.seeds, tgt_energy=tgt_energy,
             true_genes=list(map(float, TRUE_GENES_BY_TOPOLOGY[args.topology])),
