@@ -87,6 +87,8 @@ CONFIG_KEY_MAP = {
     "jointStep": "joint_step",
     "repairRounds": "repair_rounds",
     "repairGenerations": "repair_generations",
+    "targetRel": "target_rel",
+    "maxAttempts": "max_attempts",
 }
 
 
@@ -100,7 +102,8 @@ def pursuit_kwargs_from_config(items) -> dict:
                 f"unknown tpu.pursuit key {k!r}; options {list(CONFIG_KEY_MAP)}"
             )
         snake = CONFIG_KEY_MAP[k]
-        out[snake] = float(v) if snake in ("joint_spread", "joint_step") else int(v)
+        is_float = snake in ("joint_spread", "joint_step", "target_rel")
+        out[snake] = float(v) if is_float else int(v)
     return out
 
 
@@ -110,6 +113,7 @@ class PursuitResult(NamedTuple):
     stage_fitness: np.ndarray  # joint fitness after each block stage
     alias_fitness: np.ndarray  # joint fitness after each alias round
     generations_used: int  # total ES generations across all phases
+    attempts: int = 1  # outer self-scored restarts consumed (target_rel)
 
 
 def _block_cfg(cfg: ESConfig, block: tuple, pop: int) -> ESConfig:
@@ -272,10 +276,10 @@ def alias_variants(est: np.ndarray, k: int, freq_scale: np.ndarray) -> list:
     return out
 
 
-def match_parallel_pursuit(
+def _pursuit_attempt(
     target_audio,
     cfg: ESConfig,
-    key: jax.Array | int = 0,
+    key: jax.Array,
     *,
     stage_population: int = 1 << 13,
     peel_generations: int = 300,
@@ -290,26 +294,15 @@ def match_parallel_pursuit(
     repair_rounds: int = 0,
     repair_generations: int = 400,
 ) -> PursuitResult:
-    """Recover ``fm{k}_parallel`` parameters for one target frame (module
-    docstring: peel -> joint tail -> alias jumps -> final polish).
-
-    Args:
-      target_audio: ``(cfg.n_samples,)`` target frame.
-      cfg: an ``fm{k}_parallel`` ESConfig — alias polishes and the final
-        polish run exactly this engine (fused kernels, restarts, refine
-        tail as configured); block stages derive 4/8-gene sub-configs.
-
-    Returns a PursuitResult; ``best_fitness`` is scored by the polish
-    engine (the f32 refine engine when cfg.refine_generations > 0).
-    """
+    """One pursuit attempt (module docstring: peel -> joint tail ->
+    pairwise repair -> alias jumps -> final polish). See
+    ``match_parallel_pursuit`` for the public wrapper."""
     k = parallel_pairs(cfg.topology)
     if k is None:
         raise ValueError(
             f"match_parallel_pursuit needs an fm{{k}}_parallel topology, "
             f"got {cfg.topology!r}"
         )
-    if isinstance(key, int):
-        key = jax.random.PRNGKey(key)
     target_audio = jnp.asarray(target_audio, jnp.float32)
     if target_audio.shape != (cfg.n_samples,):
         raise ValueError(f"target must be one frame of {cfg.n_samples} samples")
@@ -425,3 +418,63 @@ def match_parallel_pursuit(
         alias_fitness=np.asarray(alias_fit, np.float32),
         generations_used=gens_used,
     )
+
+
+def match_parallel_pursuit(
+    target_audio,
+    cfg: ESConfig,
+    key: jax.Array | int = 0,
+    *,
+    target_rel: float = 0.0,
+    max_attempts: int = 1,
+    **attempt_kwargs,
+) -> PursuitResult:
+    """Recover ``fm{k}_parallel`` parameters for one target frame (module
+    docstring: peel -> joint tail -> pairwise repair -> alias jumps ->
+    final polish), with optional SELF-SCORED multi-start.
+
+    A single attempt's success is key-dependent (measured on the 16-dim
+    family: ~60-75% of attempts reach the global basin; which keys fail
+    even flips between recipes). The solver can judge its own outcome
+    without ground truth — relative spectral error
+    ``sqrt(best_fitness / ||target_spectrum||^2)`` under the f32 scoring
+    engine — so with ``target_rel > 0`` it restarts with a fresh key
+    (up to ``max_attempts`` total) until the estimate crosses the line,
+    returning the best attempt either way. Attempt 0 consumes the caller's
+    key unchanged, so single-attempt results are bit-identical to the
+    pre-wrapper behaviour (benchmarks/pursuit_fm3_parallel.json).
+
+    Args:
+      target_audio: ``(cfg.n_samples,)`` target frame.
+      cfg: an ``fm{k}_parallel`` ESConfig — alias polishes and the final
+        polish run exactly this engine (fused kernels, restarts, refine
+        tail as configured); block stages derive 4/8-gene sub-configs.
+      target_rel: accept threshold on self-scored relative spectral error
+        (0 disables multi-start). 0.03 pairs with the BASELINE-style gate.
+      max_attempts: total attempt budget when ``target_rel > 0``.
+
+    Returns a PursuitResult; ``best_fitness`` is scored by the polish
+    engine (the f32 refine engine when cfg.refine_generations > 0);
+    ``generations_used`` accumulates across attempts.
+    """
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    accept = None
+    if target_rel > 0.0:
+        so_e = make_spectrum_ops(_eval_cfg(cfg))
+        tspec = spectral.target_spectrum(
+            jnp.asarray(target_audio, jnp.float32), so_e
+        )
+        energy = float(np.sum(np.asarray(tspec, np.float64) ** 2))
+        accept = target_rel * target_rel * energy
+    best = None
+    gens = 0
+    for attempt in range(max(1, max_attempts)):
+        akey = key if attempt == 0 else jax.random.fold_in(key, attempt)
+        r = _pursuit_attempt(target_audio, cfg, akey, **attempt_kwargs)
+        gens += r.generations_used
+        if best is None or r.best_fitness < best.best_fitness:
+            best = r
+        if accept is None or best.best_fitness <= accept:
+            break
+    return best._replace(generations_used=gens, attempts=attempt + 1)

@@ -50,8 +50,9 @@ TPU extension section (all optional)::
     "pursuit": {                    # optional pursuit tuning (all optional)
       "stagePopulation": 8192, "peelGenerations": 300, "peelTries": 3,
       "tailGenerations": 600, "tailTries": 2, "aliasRounds": 4,
-      "aliasGenerations": 150, "jointGenerations": 500
-    }
+      "aliasGenerations": 150, "jointGenerations": 500,
+      "repairRounds": 0, "repairGenerations": 400   # k>=4: pairwise joint
+    }                               # repair (examples/fm4_parallel_match.json)
   }
 """
 from __future__ import annotations

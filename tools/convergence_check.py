@@ -69,6 +69,12 @@ TRUE_GENES_BY_TOPOLOGY = {
                      0.55, 0.30, 0.62, 0.8,
                      0.71, 0.20, 0.45, 0.7,
                      0.33, 0.40, 0.28, 0.6),
+    # 5 pairs / 20 genes — the next rung of the same gate
+    "fm5_parallel": (0.874, 0.25, 0.857, 0.9,
+                     0.55, 0.30, 0.62, 0.8,
+                     0.71, 0.20, 0.45, 0.7,
+                     0.33, 0.40, 0.28, 0.6,
+                     0.62, 0.15, 0.93, 0.5),
 }
 TRUE_GENES = TRUE_GENES_BY_TOPOLOGY["fm3_series"]
 

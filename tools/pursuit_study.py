@@ -38,6 +38,9 @@ def main(argv=None):
     ap.add_argument("--joint-gens", type=int, default=500)
     ap.add_argument("--repair-rounds", type=int, default=0)
     ap.add_argument("--repair-gens", type=int, default=400)
+    ap.add_argument("--target-rel", type=float, default=0.0,
+                    help="self-scored accept threshold (enables multi-start)")
+    ap.add_argument("--max-attempts", type=int, default=1)
     ap.add_argument("--refine-gens", type=int, default=100)
     ap.add_argument("--thresholds-rel", type=float, nargs="+",
                     default=[0.03, 0.01, 0.001])
@@ -101,7 +104,7 @@ def main(argv=None):
     print(f"target energy {tgt_energy:.6g}; thresholds "
           + ", ".join(f"{k}={v:.4g}" for k, v in thr.items()), flush=True)
 
-    fits, rels, gens_used = [], [], []
+    fits, rels, gens_used, attempts = [], [], [], []
     t_all = time.time()
     for s in range(args.seed_offset, args.seed_offset + args.seeds):
         t0 = time.time()
@@ -115,6 +118,8 @@ def main(argv=None):
             joint_generations=args.joint_gens,
             repair_rounds=args.repair_rounds,
             repair_generations=args.repair_gens,
+            target_rel=args.target_rel,
+            max_attempts=args.max_attempts,
         )
         f32_fit = float(
             evaluate(jnp.asarray(r.best_values)[None], tspec32, so32, cfg32)[0]
@@ -123,12 +128,14 @@ def main(argv=None):
         fits.append(f32_fit)
         rels.append(rel)
         gens_used.append(r.generations_used)
+        attempts.append(r.attempts)
         if args.verbose:
             print(f"  stage_fitness {np.array2string(r.stage_fitness, precision=5)} "
                   f"alias_fitness {np.array2string(r.alias_fitness, precision=5)}")
         print(f"seed {s}: f32 {f32_fit:.4g} rel {rel:.4f} "
               f"({'PASS' if f32_fit <= thr['rel0.03'] else 'no'}) "
-              f"{r.generations_used}g {time.time()-t0:.0f}s", flush=True)
+              f"{r.generations_used}g {r.attempts}att "
+              f"{time.time()-t0:.0f}s", flush=True)
 
     fits = np.asarray(fits)
     out = {
@@ -141,6 +148,7 @@ def main(argv=None):
             joint_gens=args.joint_gens, refine_gens=args.refine_gens,
             repair_rounds=args.repair_rounds,
             repair_gens=args.repair_gens,
+            target_rel=args.target_rel, max_attempts=args.max_attempts,
             engine=args.engine, seed_offset=args.seed_offset,
             seeds=args.seeds, tgt_energy=tgt_energy,
             true_genes=list(map(float, TRUE_GENES_BY_TOPOLOGY[args.topology])),
@@ -149,6 +157,7 @@ def main(argv=None):
         "fits": fits.tolist(),
         "rel_errors": [round(r, 6) for r in rels],
         "generations_used": gens_used,
+        "attempts": attempts,
         "frac_converged": {
             k: float(np.mean(fits <= v)) for k, v in thr.items()
         },
