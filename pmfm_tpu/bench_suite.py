@@ -260,17 +260,27 @@ def suite_multi_target(args, bm):
         for p in true_sets
     ])
     gens = args.gens
-    for b in (1, 4):
+    for b in (1, 4, 32):
+        # B=32 at pop 2^11 per target: batching many small runs amortises
+        # the per-generation base across the whole batch (67M aggregate vs
+        # ~30M for ONE 2^11 run — tools/tpu_multitarget_probe.py findings)
+        cfg_b = cfg
+        if b == 32:
+            small_mu = max(16, (1 << 11) // 128)
+            cfg_b = cfg.replace(num_parents=small_mu,
+                                num_offspring=(1 << 11) - small_mu)
+        tgts = targets[:b] if b <= len(targets) else np.tile(
+            targets, (-(-b // len(targets)), 1))[:b]
         t0 = time.time()
-        match_many(targets[:b], cfg, key=0, num_generations=gens)
+        match_many(tgts, cfg_b, key=0, num_generations=gens)
         warm = time.time() - t0  # includes compile
         t0 = time.time()
-        match_many(targets[:b], cfg, key=1, num_generations=gens)
+        match_many(tgts, cfg_b, key=1, num_generations=gens)
         dt = time.time() - t0
-        name = f"MultiTarget_B{b}"
+        name = f"MultiTarget_B{b}" + ("[pop=2^11]" if b == 32 else "")
         bm.add_timer(name, dt * 1e3)
         print(f"{name}: {dt*1e3:.1f}ms for {gens} gens x {b} targets "
-              f"({b*cfg.population_size*gens/dt/1e6:.2f}M evals/s aggregate; "
+              f"({b*cfg_b.population_size*gens/dt/1e6:.2f}M evals/s aggregate; "
               f"first call {warm:.1f}s incl compile)")
         bm.elapsed_timer(name)
 

@@ -514,6 +514,15 @@ def _compiled_chunk_matcher(
 
 
 @lru_cache(maxsize=32)
+def _compiled_many_matcher(cfg: ESConfig, num_generations: int, mesh=None):
+    """jit of the VMAPPED stft matcher — match_many's engine. Cached so
+    repeated calls at one (cfg, gens) reuse the compiled executable
+    instead of re-tracing the batched G-generation scan per call."""
+    run = _compiled_stft_matcher(cfg, num_generations, False, mesh)
+    return jax.jit(jax.vmap(run))
+
+
+@lru_cache(maxsize=32)
 def _compiled_stft_matcher(cfg: ESConfig, num_generations: int, record_trajectory: bool, mesh=None):
     """jit: (key, target_audio (F*N,)) -> (final_state, traj, best_scaled,
     best_audio (F*N,)) — one ES run scored over all STFT frames."""
@@ -625,22 +634,40 @@ def match_many(
     if frames == 0:
         raise ValueError("targets shorter than one frame")
     cfg = cfg.replace(num_frames=frames)
-    run = _compiled_stft_matcher(cfg, num_generations, False, mesh)
     keys = jax.random.split(key, targets.shape[0])
     t = jnp.asarray(targets[:, : frames * cfg.n_samples])
-    finals, _, best_scaled, best_audio = jax.vmap(run)(keys, t)
-    jax.block_until_ready(best_audio)
+    # jit the vmapped matcher ONCE per (cfg, gens, mesh): a bare
+    # jax.vmap(run) re-traces the whole G-generation scan on EVERY call
+    # (~0.3-0.9 s host time here), which depressed the round-4
+    # multi_target artifact by ~2x. The batched pallas lowering itself is
+    # optimal — a hand-written segmented kernel grid (per-segment operand
+    # BlockSpecs) measured IDENTICAL device time (59.3 vs 59.5M aggregate
+    # evals/s at B=4 pop 2^13; 67.0M both at B=32 pop 2^11), so vmap is
+    # the whole multi-target mechanism (tools/tpu_multitarget_probe.py).
+    run = _compiled_many_matcher(cfg, num_generations, mesh)
+    finals, _, best_scaled, best_audio = run(keys, t)
+    # ONE batched device->host transfer per output array: per-result
+    # np.asarray/float() calls each cost a full axon round trip (~25 ms
+    # apiece on the dev tunnel), which at B=4 doubled the measured
+    # multi-target wall time. np.asarray is also the reliable sync here
+    # (axon block_until_ready returns early / hangs on scalars — utils
+    # device_sync rationale).
+    bs = np.asarray(best_scaled)
+    bv = np.asarray(finals.best_values)
+    bf = np.asarray(finals.best_fitness)
+    gen = np.asarray(finals.generation)
+    ba = np.asarray(best_audio)
     results = []
     for b in range(targets.shape[0]):
         chunk = ChunkResult(
-            best_params_scaled=np.asarray(best_scaled[b]),
-            best_params_norm=np.asarray(finals.best_values[b]),
-            best_fitness=float(finals.best_fitness[b]),
-            generations_run=int(finals.generation[b]),
+            best_params_scaled=bs[b],
+            best_params_norm=bv[b],
+            best_fitness=float(bf[b]),
+            generations_run=int(gen[b]),
             trajectory=None,
         )
         results.append(
-            MatchResult(chunks=[chunk], output_audio=np.asarray(best_audio[b]), config=cfg)
+            MatchResult(chunks=[chunk], output_audio=ba[b], config=cfg)
         )
     return results
 

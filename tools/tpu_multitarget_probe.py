@@ -1,8 +1,17 @@
 """Attribute the vmapped multi-target throughput loss (round 4).
 
-benchmarks/multi_target.csv: match_many (vmap of B independent ES runs,
-pop 2^13 each) sustains ~29M aggregate evals/s while ONE run at the same
-total population (2^15) sustains ~57M. Where does the factor ~2 go?
+VERDICT (measured 2026-08-21): the device side was NEVER the problem.
+vmap(fused_generation) at B=4 pop 2^13 runs 57.0M aggregate evals/s,
++select_t 52.1M, full vmap(evolve) 50.4M, the jitted vmapped matcher
+62.7M on real targets — and a hand-written segmented kernel grid
+(per-segment operand BlockSpecs in ONE pallas grid) measured IDENTICAL
+device time (59.3 vs 59.5M at B=4/2^13; 67.0M both at B=32/2^11), so it
+was deleted. match_many's observed ~29M came from two HOST sinks, both
+fixed in es/pipeline.py: a bare jax.vmap(run) re-traced the whole
+G-generation scan per call (now jit-cached, _compiled_many_matcher), and
+per-result np.asarray/float() readbacks cost ~25 ms each on the axon dev
+tunnel (now one batched transfer per output array). Re-recorded artifact:
+benchmarks/multi_target.csv (52.3M at B=4, 60.9M at B=32 x 2^11).
 
   vkernel  — vmap(fused_generation) only, B runs (consume fitness)
   vstep    — vkernel + vmap(select_t)                 (the full hot path)
