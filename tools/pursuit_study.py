@@ -50,8 +50,11 @@ def main(argv=None):
                     choices=("int8", "f32"),
                     help="joint-polish engine")
     ap.add_argument("--verbose", action="store_true")
-    ap.add_argument("--json", default="benchmarks/pursuit_fm3_parallel.json")
+    ap.add_argument("--json", default=None,
+                    help="output path (default benchmarks/pursuit_<topology>.json)")
     args = ap.parse_args(argv)
+    if args.json is None:
+        args.json = f"benchmarks/pursuit_{args.topology}.json"
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
