@@ -302,3 +302,22 @@ class TestCollectiveBytes:
         assert st["all-reduce"]["bytes"] == (1 << 12) // 4 * 4
         # ...plus the pop-axis top-mu merge (4 pop shards)
         assert st["all-gather"]["bytes"] == 4 * 64 * 13 * 4
+
+
+class TestManyMatcherCache:
+    def test_vmapped_matcher_is_cached(self):
+        """match_many's engine: the jitted VMAPPED matcher must be built
+        once per (cfg, gens, mesh) — a bare jax.vmap(run) per call
+        re-traced the whole G-generation scan every time (round-4: ~2x of
+        the measured multi-target wall clock on hardware)."""
+        from pmfm_tpu.es import ESConfig
+        from pmfm_tpu.es.pipeline import _compiled_many_matcher
+
+        cfg = ESConfig(num_parents=8, num_offspring=24, num_dimensions=6,
+                       topology="fm3_series", audio_length_log2=8,
+                       num_frames=1)
+        a = _compiled_many_matcher(cfg, 5, None)
+        b = _compiled_many_matcher(cfg, 5, None)
+        assert a is b
+        c = _compiled_many_matcher(cfg, 6, None)
+        assert c is not a
