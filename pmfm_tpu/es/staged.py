@@ -354,7 +354,10 @@ def _pursuit_attempt(
     # docstring item 2) generalises: re-fit every unordered PAIR of pair
     # blocks (8 genes, random-init elitist ES, others frozen) and keep
     # improvements; stop when a full round stalls.
-    for _ in range(repair_rounds):
+    for _ in range(repair_rounds if k >= 4 else 0):
+        # k <= 3 has at most one unordered pair of pair-blocks == the joint
+        # tail it just ran: re-running it only advances the key stream and
+        # burns repair_generations * k*(k-1)/2 per round (ADVICE r4)
         before = stage_fit[-1]
         for j1 in range(k):
             for j2 in range(j1 + 1, k):
@@ -461,20 +464,33 @@ def match_parallel_pursuit(
         key = jax.random.PRNGKey(key)
     accept = None
     if target_rel > 0.0:
-        so_e = make_spectrum_ops(_eval_cfg(cfg))
+        ecfg = _eval_cfg(cfg)
+        so_e = make_spectrum_ops(ecfg)
         tspec = spectral.target_spectrum(
             jnp.asarray(target_audio, jnp.float32), so_e
         )
         energy = float(np.sum(np.asarray(tspec, np.float64) ** 2))
         accept = target_rel * target_rel * energy
+
+        def score(r):
+            # the accept threshold lives on the f32 spectrum-energy scale,
+            # so the attempt must be scored there too: with
+            # refine_generations == 0 the polish engine can be int8/bf16,
+            # whose SELF-REPORTED fitness is ~3.5x optimistic
+            # (tools/convergence_check.py) and would accept bad attempts
+            return float(
+                evaluate(jnp.asarray(r.best_values)[None], tspec, so_e, ecfg)[0]
+            )
     best = None
+    best_score = np.inf
     gens = 0
     for attempt in range(max(1, max_attempts)):
         akey = key if attempt == 0 else jax.random.fold_in(key, attempt)
         r = _pursuit_attempt(target_audio, cfg, akey, **attempt_kwargs)
         gens += r.generations_used
-        if best is None or r.best_fitness < best.best_fitness:
-            best = r
-        if accept is None or best.best_fitness <= accept:
+        s = score(r) if accept is not None else r.best_fitness
+        if best is None or s < best_score:
+            best, best_score = r, s
+        if accept is None or best_score <= accept:
             break
     return best._replace(generations_used=gens, attempts=attempt + 1)

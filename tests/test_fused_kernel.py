@@ -416,4 +416,3 @@ class TestPopBlockNormalization:
         tgt = jnp.ones((so.num_bins,), jnp.float32)
         fit = np.asarray(evaluate(vals, tgt, so, cfg))
         assert np.isfinite(fit).all()
-
