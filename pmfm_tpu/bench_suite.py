@@ -198,6 +198,7 @@ def suite_chunk_size(args, bm):
         dt = _steady_time(_make_runner(cfg, gens, so))
         name = f"{name}_{1<<log2}[{eng}]"
         bm.add_timer(name, dt * 1e3)
+        bm.set_workload(name, cfg.population_size, gens)
         print(f"{name}: {dt*1e3:.1f}ms "
               f"({cfg.population_size*gens/dt/1e6:.2f}M evals/s)")
         bm.elapsed_timer(name)
@@ -227,6 +228,7 @@ def suite_population(args, bm):
         dt = _steady_time(_make_runner(cfg, args.gens))
         name = f"PopulationScaling_2^{pop_log2}"
         bm.add_timer(name, dt * 1e3)
+        bm.set_workload(name, pop, args.gens)
         print(f"{name}: {dt*1e3:.1f}ms ({pop*args.gens/dt/1e6:.2f}M evals/s)")
         bm.elapsed_timer(name)
 
@@ -279,6 +281,7 @@ def suite_multi_target(args, bm):
         dt = time.time() - t0
         name = f"MultiTarget_B{b}" + ("[pop=2^11]" if b == 32 else "")
         bm.add_timer(name, dt * 1e3)
+        bm.set_workload(name, b * cfg_b.population_size, gens)
         print(f"{name}: {dt*1e3:.1f}ms for {gens} gens x {b} targets "
               f"({b*cfg_b.population_size*gens/dt/1e6:.2f}M evals/s aggregate; "
               f"first call {warm:.1f}s incl compile)")
@@ -384,6 +387,7 @@ def suite_stft_frames(args, bm):
         dt = _steady_time(lambda: run(jax.random.PRNGKey(0)))
         name = f"STFTFrames_{frames}"
         bm.add_timer(name, dt * 1e3)
+        bm.set_workload(name, cfg.population_size, args.gens)
         pop = cfg.population_size
         print(f"{name}: {dt*1e3:.1f}ms ({pop*args.gens/dt/1e6:.2f}M cand/s, "
               f"{pop*frames*args.gens/dt/1e6:.2f}M frame-evals/s)")
@@ -426,7 +430,8 @@ def main(argv=None):
     enable_compile_cache()
 
     csv = args.csv or Benchmarker.log_filename("tpu_suite", args.pop, args.gens, 1 << args.log2)
-    bm = Benchmarker(csv_path=csv, quiet=True)
+    bm = Benchmarker(csv_path=csv, quiet=True,
+                     population=args.pop, generations=args.gens)
     names = list(SUITES) if args.suite == "all" else [args.suite]
     for name in names:
         print(f"=== {name} ===")

@@ -152,7 +152,10 @@ def main(argv: list[str] | None = None) -> int:
             if run_cfg.is_log
             else None
         )
-        bm = Benchmarker(csv_path=csv_path, quiet=args.quiet)
+        bm = Benchmarker(
+            csv_path=csv_path, quiet=args.quiet,
+            population=cfg.population_size, generations=num_generations,
+        )
 
     # --- batched multi-target mode ---------------------------------------
     if args.batch:

@@ -110,14 +110,17 @@ def _edge_coef(k: int, edge_norm: float):
     ).astype(jnp.float32)
 
 
-def _dft_uv(dft, a_plus, a_minus, k: int, adtype):
+def _dft_uv(dft, a_plus, a_minus, k: int, adtype, precision=None):
     """The folded DFT's two half-length contractions: U = cos-half @ a+,
-    V = sin-half @ a- (int32-exact in int8 mode)."""
+    V = sin-half @ a- (int32-exact in int8 mode; Precision.HIGHEST in the
+    true-f32 mode — Mosaic's default f32 matmul multiplies reduced)."""
     u = jax.lax.dot_general(
-        dft[:k], a_plus, _DN_STD, preferred_element_type=adtype
+        dft[:k], a_plus, _DN_STD, preferred_element_type=adtype,
+        precision=precision,
     )
     v = jax.lax.dot_general(
-        dft[k:], a_minus, _DN_STD, preferred_element_type=adtype
+        dft[k:], a_minus, _DN_STD, preferred_element_type=adtype,
+        precision=precision,
     )
     return u, v
 
@@ -326,6 +329,7 @@ def _evaluate_block(
     num_frames: int = 1,
     dft_scale: float = 0.0,
     sine_order: int = 9,
+    audio_f32: bool = False,
 ):
     """Shared kernel body: synthesise one population block and return its
     fitness row ``(1, PB)``. Used by both the evaluate-only kernel and the

