@@ -233,12 +233,18 @@ def _fused_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
 def _fused_vmem_bytes(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> int:
     """The fused kernels' VMEM-resident footprint estimate."""
     n, k = cfg.n_samples, spectrum_ops.num_bins
-    from ..kernels.synth_fitness import resolve_pop_block
+    from ..kernels.synth_fitness import f32_pop_block, resolve_pop_block
 
     pop = cfg.population_size
-    pb = resolve_pop_block(pop, cfg.pop_block)
-    int8_mode = spectrum_ops.dft_packed_scale > 0.0
-    eb = 1 if int8_mode else 2  # element bytes of the folded operand/audio
+    # element bytes of the folded operand AND audio scratch: 1 int8 / 2 bf16
+    # / 4 true-f32 (the operand dtype IS the engine selector — kernels infer
+    # audio_f32 from dft_packed.dtype; f32 additionally caps the pop block,
+    # synth_fitness.F32_MAX_POP_BLOCK)
+    eb = spectrum_ops.dft_packed.dtype.itemsize
+    if eb == 4:
+        pb = f32_pop_block(pop, cfg.pop_block)
+    else:
+        pb = resolve_pop_block(pop, cfg.pop_block)
     dft_bytes = 2 * k * (n // 2) * eb  # folded operand
     scratch_bytes = 2 * (n // 2) * pb * eb  # a+ / a-
     vr = -(-cfg.num_dimensions // 8) * 8  # offspring rows, sublane-padded

@@ -51,6 +51,7 @@ from .synth_fitness import (
     TIME_BLOCK,
     _evaluate_block,
     _tri_strict,
+    f32_pop_block,
     resolve_pop_block,
 )
 
@@ -283,7 +284,11 @@ def fused_evolve(
     mu, d = parent_values.shape
     k = dft_packed.shape[0] // 2
     vr = _round8(d)
-    pb = resolve_pop_block(pop, pop_block)
+    pb = (
+        f32_pop_block(pop, pop_block)
+        if dft_scale == 0.0 and dft_packed.dtype == jnp.float32
+        else resolve_pop_block(pop, pop_block)
+    )
     if n % (2 * time_block):
         raise ValueError(
             f"n={n} must be a multiple of {2 * time_block} (the folded DFT "
@@ -298,7 +303,9 @@ def fused_evolve(
             f"{dft_packed.shape} for n={n}"
         )
     # int8 operands stay int8 under interpret (CPU int8 dots are exact too);
-    # bf16 upcasts to f32 (XLA:CPU has no bf16 dot kernel)
+    # bf16 upcasts to f32 (XLA:CPU has no bf16 dot kernel); an f32 operand
+    # selects the TRUE-f32 engine (synth_fitness audio_f32 docstring)
+    audio_f32 = dft_scale == 0.0 and dft_packed.dtype == jnp.float32
     dft = (
         dft_packed.astype(jnp.float32)
         if interpret and dft_packed.dtype == jnp.bfloat16
@@ -346,6 +353,7 @@ def fused_evolve(
         num_frames=num_frames,
         dft_scale=dft_scale,
         sine_order=sine_order,
+        audio_f32=audio_f32,
     )
     kwargs = {}
     if interpret:
@@ -392,7 +400,11 @@ def fused_evolve(
                 (n // 2, pb),
                 jnp.int8
                 if dft_scale > 0.0
-                else (jnp.float32 if interpret else jnp.bfloat16),
+                else (
+                    jnp.float32
+                    if (interpret or audio_f32)
+                    else jnp.bfloat16
+                ),
             )
             for _ in range(2)
         ],

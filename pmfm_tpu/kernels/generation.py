@@ -31,6 +31,7 @@ from .synth_fitness import (
     TIME_BLOCK,
     _evaluate_block,
     _tri_strict,
+    f32_pop_block,
     resolve_pop_block,
 )
 
@@ -331,7 +332,13 @@ def fused_generation(
     k = dft_cos.shape[1]
     vr = _round8(d)
     hier = use_hier_gather(mu) and gather_mode != "flat"
-    pb = resolve_pop_block(pop, pop_block)
+    # the true-f32 engine caps the pop block (synth_fitness.F32_MAX_POP_BLOCK)
+    _f32 = (
+        dft_scale == 0.0
+        and dft_packed is not None
+        and dft_packed.dtype == jnp.float32
+    )
+    pb = f32_pop_block(pop, pop_block) if _f32 else resolve_pop_block(pop, pop_block)
     if n % (2 * time_block):
         raise ValueError(
             f"n={n} must be a multiple of {2 * time_block} (the folded DFT "
@@ -356,6 +363,9 @@ def fused_generation(
             f"dft operand must be the FOLDED (2K, N/2) form, got "
             f"{dft.shape} for n={n}"
         )
+    # checked BEFORE the interpret upcast: an f32 dft_packed selects the
+    # TRUE-f32 engine (synth_fitness._evaluate_block audio_f32 docstring)
+    audio_f32 = dft_scale == 0.0 and dft.dtype == jnp.float32
     if interpret and dft.dtype == jnp.bfloat16:
         # interpreter-mode dots run on XLA:CPU, which has no bf16 kernel;
         # quantise-then-upcast matches the TPU bf16 MXU numerics exactly
@@ -388,6 +398,7 @@ def fused_generation(
         num_frames=num_frames,
         dft_scale=dft_scale,
         sine_order=sine_order,
+        audio_f32=audio_f32,
     )
     nblk = pop // pb
     kernel = functools.partial(_gen_kernel, blocked_out=blocked_out, **statics)
@@ -413,7 +424,7 @@ def fused_generation(
     sdtype = (
         jnp.int8
         if dft_scale > 0.0
-        else (jnp.float32 if interpret else jnp.bfloat16)
+        else (jnp.float32 if (interpret or audio_f32) else jnp.bfloat16)
     )
     grid = (nblk,)
     off_spec = pl.BlockSpec(

@@ -46,6 +46,19 @@ def resolve_pop_block(pop: int, pop_block: int) -> int:
     return pb
 
 
+# True-f32 engine pop-block cap: the f32 scratches (4 B/sample) plus the
+# HIGHEST-precision matmuls' operand-decomposition buffers overflow scoped
+# VMEM at PB=1024 (measured 16.57 MB vs the 16 MB limit, n=1024 fused
+# generation — tools/tpu_f32_tail_probe.py); PB=512 fits with headroom.
+F32_MAX_POP_BLOCK = 512
+
+
+def f32_pop_block(pop: int, pop_block: int) -> int:
+    """resolve_pop_block with the true-f32 engine's cap applied — shared by
+    the kernels and the VMEM gate (strategy._fused_vmem_bytes)."""
+    return resolve_pop_block(pop, min(pop_block, F32_MAX_POP_BLOCK))
+
+
 def _chain_count(topology: str) -> int:
     """Oscillator chains advanced per sample (for the Mosaic cost estimate)."""
     if topology == "fm2":
@@ -154,6 +167,7 @@ def _make_block_synth(
     w2sr: float,
     dft_scale: float,
     sine_order: int,
+    audio_f32: bool = False,
 ):
     """Per-topology synthesis of ONE time block as a pure step function.
 
@@ -200,10 +214,19 @@ def _make_block_synth(
         return p[i : i + 1, :]
 
     # one matmul -> exclusive intra-block prefix sums AND the block total
-    # (tri carries a ones row at row C, see _tri_strict)
+    # (tri carries a ones row at row C, see _tri_strict). In true-f32 mode
+    # the prefix runs at HIGHEST precision: Mosaic's default f32 matmul
+    # multiplies reduced, which leaves ~bf16-level noise on the phase
+    # increments — measured 1.1e-3 median fitness error vs the XLA f32
+    # path at default, ~the sine floor at HIGHEST
+    # (tools/tpu_f32_tail_probe.py). The quantised engines keep the
+    # default: the noise sits below their own audio quantisation.
+    prefix_precision = jax.lax.Precision.HIGHEST if audio_f32 else None
+
     def ex_prefix(xb):  # (C, PB) -> ((C, PB) prefix, (1, PB) total)
         ps = jax.lax.dot_general(
-            tri, xb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            tri, xb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prefix_precision,
         )
         return ps[0:c], ps[c : c + 1]
 
@@ -369,6 +392,14 @@ def _evaluate_block(
     ``(edge_q (1, PB), mag_scale (1, PB) or None)`` instead of the fitness —
     the DFT + fitness run in XLA outside, where the (2K, N/2) matmul has no
     VMEM budget. Requires ``num_frames == 1``.
+
+    ``audio_f32`` selects the TRUE-f32 engine (round 5 — the refine tail's
+    fast path, ESConfig.refine_config): f32 folded operand and f32 audio
+    scratch (no rounding anywhere in the fold) with the two DFT dots at
+    ``Precision.HIGHEST`` (Mosaic's default f32 matmul multiplies reduced,
+    CLAUDE.md). ~f32-exact fitness at fused-kernel dispatch cost; the
+    synthesis numerics (polynomial sine, f32 phase prefix matmuls) are the
+    same ones every engine runs.
     """
     nb = n // c
     int8_mode = dft_scale > 0.0
@@ -380,7 +411,7 @@ def _evaluate_block(
     nhb = nb // 2
     block_synth, offs_state, mag_scale = _make_block_synth(
         p, tri, topology=topology, pb=pb, c=c, wts=wts, w2sr=w2sr,
-        dft_scale=dft_scale, sine_order=sine_order,
+        dft_scale=dft_scale, sine_order=sine_order, audio_f32=audio_f32,
     )
 
     # Per-sample phase increments |w2sr*cur| < ~0.75*(fmax*imax+imax) stay far
@@ -414,15 +445,21 @@ def _evaluate_block(
     def fold_cast(x):
         # int8: exact (|a| <= 126); bf16: ONE rounding of the sum — on
         # hardware the store rounds to bf16, under interpret the scratch is
-        # f32 so we round explicitly to stay numerically identical
+        # f32 so we round explicitly to stay numerically identical; true-f32
+        # mode stores the f32 sum unrounded
+        if audio_f32:
+            return x
         return x.astype(jnp.int8 if int8_mode else jnp.bfloat16).astype(sdtype)
 
     def emit(r0, prev_q, nxt):
         """Fold one delayed second-half block into the a+/a- rows
         [r0, r0+C): reversed prev rows 1..C-1 plus (optionally) the next
-        block's first sample at row 0."""
+        block's first sample at row 0. True-f32 mode reverses at HIGHEST
+        precision — the default reduced multiply would bf16-round every
+        second-half audio sample through the one-hot copy."""
         asm = jax.lax.dot_general(
-            p_rev, prev_q, dn_std, preferred_element_type=adtype
+            p_rev, prev_q, dn_std, preferred_element_type=adtype,
+            precision=jax.lax.Precision.HIGHEST if audio_f32 else None,
         )
         if nxt is not None:
             q0 = jnp.zeros((c, pb), adtype) + nxt[0:1, :].astype(adtype)
@@ -442,6 +479,8 @@ def _evaluate_block(
         # the a+/a- scratches (docstring)
         if int8_mode:
             q = jnp.round(out).astype(jnp.int8)  # (C, PB) in [-63, 63]
+        elif audio_f32:
+            q = out  # true-f32: the audio is never quantised
         else:
             q = out.astype(jnp.bfloat16).astype(sdtype)
         if bf < nhb:
@@ -460,7 +499,10 @@ def _evaluate_block(
             emit(0, prev_q, None)
             if dft_ref is None:  # EMIT-ONLY (see docstring): a+/a- are done
                 return edge_q, (mag_scale if int8_mode else None)
-            u, v = _dft_uv(dft_ref[:], a_plus[:], a_minus[:], k, adtype)
+            u, v = _dft_uv(
+                dft_ref[:], a_plus[:], a_minus[:], k, adtype,
+                precision=jax.lax.Precision.HIGHEST if audio_f32 else None,
+            )
             fit = fit + _fit_epilogue(
                 u, v, edge_q, mag_scale if int8_mode else None,
                 target_ref[:, f : f + 1], edge_coef, k, pb,
@@ -485,6 +527,7 @@ def _synth_emit_looped(
     sine_order: int = 9,
     num_frames: int = 1,
     k: int = 8,  # unused (emit-only); accepted for statics compatibility
+    audio_f32: bool = False,
 ):
     """EMIT-ONLY synthesis + fold with an in-kernel ``lax.fori_loop`` over
     time blocks — numerically identical to ``_evaluate_block``'s emit-only
@@ -509,7 +552,7 @@ def _synth_emit_looped(
     int8_mode = dft_scale > 0.0
     block_synth, offs0, mag_scale = _make_block_synth(
         p, tri, topology=topology, pb=pb, c=c, wts=wts, w2sr=w2sr,
-        dft_scale=dft_scale, sine_order=sine_order,
+        dft_scale=dft_scale, sine_order=sine_order, audio_f32=audio_f32,
     )
     sdtype = a_plus.dtype
     adtype = jnp.int32 if int8_mode else jnp.float32
@@ -520,6 +563,8 @@ def _synth_emit_looped(
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (c, pb), 0)
 
     def fold_cast(x):  # see _evaluate_block: one rounding of the fold sum
+        if audio_f32:
+            return x
         return x.astype(jnp.int8 if int8_mode else jnp.bfloat16).astype(sdtype)
 
     def emit(r0, prev_q, nxt):
@@ -530,7 +575,8 @@ def _synth_emit_looped(
             # dimension 0 is a multiple of 8") — assert it explicitly
             r0 = pl.multiple_of(r0, c)
         asm = jax.lax.dot_general(
-            p_rev, prev_q, dn_std, preferred_element_type=adtype
+            p_rev, prev_q, dn_std, preferred_element_type=adtype,
+            precision=jax.lax.Precision.HIGHEST if audio_f32 else None,
         )
         if nxt is not None:
             q0 = jnp.zeros((c, pb), adtype) + nxt[0:1, :].astype(adtype)
@@ -544,6 +590,8 @@ def _synth_emit_looped(
         out, offs = block_synth(offs)
         if int8_mode:
             q = jnp.round(out).astype(jnp.int8)
+        elif audio_f32:
+            q = out
         else:
             q = out.astype(jnp.bfloat16).astype(sdtype)
 
@@ -625,13 +673,21 @@ def fused_synth_fitness(
 
     ``dft_scale > 0`` selects the int8 DFT engine (SpectrumOps.dft_packed
     must be the int8 operand and dft_scale its SpectrumOps.dft_packed_scale;
-    fm2/fm3_series only — see _evaluate_block).
+    fm2/fm3_series only — see _evaluate_block). An f32 ``dft_packed``
+    selects the TRUE-f32 engine (f32 scratch, unquantised audio,
+    Precision.HIGHEST DFT dots — _evaluate_block's ``audio_f32``).
 
     Requirements: P % pop_block == 0, n % 128 == 0, K % 128 == 0.
     """
     pop, d = params_scaled.shape
     k = dft_cos.shape[1]
-    pb = resolve_pop_block(pop, pop_block)
+    # the true-f32 engine caps the pop block (F32_MAX_POP_BLOCK rationale)
+    _f32 = (
+        dft_scale == 0.0
+        and dft_packed is not None
+        and dft_packed.dtype == jnp.float32
+    )
+    pb = f32_pop_block(pop, pop_block) if _f32 else resolve_pop_block(pop, pop_block)
     if n % (2 * time_block):
         raise ValueError(
             f"n={n} must be a multiple of {2 * time_block} (the folded DFT "
@@ -655,6 +711,9 @@ def fused_synth_fitness(
             f"dft operand must be the FOLDED (2K, N/2) form, got "
             f"{dft.shape} for n={n}"
         )
+    # checked BEFORE the interpret upcast below: bf16-mode interpret runs
+    # with an f32 copy of the operand but must keep bf16 quantisation
+    audio_f32 = dft_scale == 0.0 and dft.dtype == jnp.float32
     if interpret and dft.dtype == jnp.bfloat16:
         # XLA:CPU cannot execute bf16 dots; quantise-then-upcast is
         # numerically identical to the TPU bf16 MXU (see _evaluate_block)
@@ -681,6 +740,7 @@ def fused_synth_fitness(
         num_frames=num_frames,
         dft_scale=dft_scale,
         sine_order=sine_order,
+        audio_f32=audio_f32,
     )
     grid = (pop // pb,)
     chains = _chain_count(topology)
@@ -717,7 +777,11 @@ def fused_synth_fitness(
                 (n // 2, pb),
                 jnp.int8
                 if dft_scale > 0.0
-                else (jnp.float32 if interpret else jnp.bfloat16),
+                else (
+                    jnp.float32
+                    if (interpret or audio_f32)
+                    else jnp.bfloat16
+                ),
             )
             for _ in range(2)
         ],
