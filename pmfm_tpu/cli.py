@@ -328,11 +328,22 @@ def main(argv: list[str] | None = None) -> int:
 
             from .es.pipeline import ChunkResult, MatchResult
             from .es.staged import (
-                match_parallel_pursuit, pursuit_kwargs_from_config,
+                match_parallel_pursuit,
+                match_series_pursuit,
+                pursuit_kwargs_from_config,
+                series_pursuit_kwargs_from_config,
             )
-            from .ops.synthesis import scale_params
+            from .ops.synthesis import scale_params, series_ops
 
-            kw = pursuit_kwargs_from_config(run_cfg.pursuit)
+            # parallel banks -> the comb-peel solver; serial chains k>=4 ->
+            # the round-5 exact-reduction homotopy (each has its own knob
+            # set, so the config block is mapped per solver family)
+            if (series_ops(cfg.topology) or 0) >= 4:
+                solver = match_series_pursuit
+                kw = series_pursuit_kwargs_from_config(run_cfg.pursuit)
+            else:
+                solver = match_parallel_pursuit
+                kw = pursuit_kwargs_from_config(run_cfg.pursuit)
             n_chunks = len(target) // cfg.n_samples
             if n_chunks == 0:
                 print("error: target shorter than one frame", file=sys.stderr)
@@ -347,7 +358,7 @@ def main(argv: list[str] | None = None) -> int:
                     target[i * cfg.n_samples : (i + 1) * cfg.n_samples],
                     np.float32,
                 )
-                r = match_parallel_pursuit(frame, cfg, key=sub, **kw)
+                r = solver(frame, cfg, key=sub, **kw)
                 best_scaled = np.asarray(
                     scale_params(
                         jnp.asarray(r.best_values)[None], mins, maxs

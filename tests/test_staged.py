@@ -175,3 +175,99 @@ class TestPursuitEndToEnd:
         # elitism: the tail stage (which includes the peel's estimate as
         # its frozen/center baseline) can only improve the joint fitness
         assert r.stage_fitness[1] <= r.stage_fitness[0] + 1e-6
+
+
+class TestSeriesPursuit:
+    """The round-5 exact-reduction homotopy for serial chains
+    (es/staged.py::match_series_pursuit). Convergence is a hardware-scale
+    property (benchmarks/pursuit_fm4_series.json); CPU tests pin the
+    staging structure and the multi-start wrapper."""
+
+    def _cfg(self, k=4):
+        d = 2 * k
+        return ESConfig(
+            num_parents=16, num_offspring=240, num_dimensions=d,
+            topology=f"fm{k}_series", param_mins=(0.0,) * d,
+            param_maxs=(3520.0, 8.0) * k, audio_length_log2=9,
+            synthesis_engine="scanless", spectrum_method="dft",
+            dft_dtype="float32", mutation_noise="clt12_neutral",
+            min_step=1e-4, restart_patience=50,
+        )
+
+    def test_smoke_stage_structure(self):
+        from pmfm_tpu.es import make_spectrum_ops
+        from pmfm_tpu.es.staged import match_series_pursuit
+        from pmfm_tpu.ops import synthesize_single
+        from pmfm_tpu.ops.spectral import target_spectrum
+        from pmfm_tpu.ops.synthesis import scale_params
+
+        cfg = self._cfg(k=4)
+        genes = jnp.asarray([0.87, 0.25, 0.86, 0.19, 0.89, 0.15, 0.85, 0.13])
+        scaled = scale_params(
+            genes[None], jnp.asarray(cfg.param_mins),
+            jnp.asarray(cfg.param_maxs),
+        )[0]
+        audio = synthesize_single(scaled, cfg.n_samples, cfg.topology,
+                                  engine="scanless")
+        r = match_series_pursuit(
+            np.asarray(audio), cfg, key=0,
+            stage_population=256, core_generations=10, core_tries=1,
+            grow_generations=8, grow_tries=1, repair_rounds=1,
+            repair_generations=6, joint_generations=10,
+        )
+        assert r.best_values.shape == (8,)
+        assert np.all((r.best_values >= 0) & (r.best_values <= 1))
+        from pmfm_tpu.es import make_spectrum_ops as _mk  # noqa: F401
+        so = make_spectrum_ops(cfg)
+        silence = float(jnp.sum(target_spectrum(audio, so) ** 2))
+        # the f32-elitist guard makes the result monotone vs silence
+        assert 0 <= r.best_fitness <= silence
+        # k=4: 1 core + 1 grow + 3 repair windows (one round)
+        assert len(r.stage_fitness) == 5, r.stage_fitness
+        # stage fitness is monotone non-increasing (elitist blocks; small
+        # relative slack: the incumbent's fitness is re-evaluated per stage
+        # and f32 reduction order can wobble the last bits)
+        sf = np.asarray(r.stage_fitness)
+        assert np.all(sf[1:] <= sf[:-1] * (1 + 1e-6))
+
+    def test_rejects_small_k_and_non_series(self):
+        from pmfm_tpu.es.staged import match_series_pursuit
+
+        with pytest.raises(ValueError, match="k >= 4"):
+            match_series_pursuit(
+                np.zeros(512, np.float32),
+                ESConfig(num_parents=4, num_offspring=12, num_dimensions=6,
+                         topology="fm3_series", audio_length_log2=9),
+            )
+        with pytest.raises(ValueError, match="k >= 4"):
+            match_series_pursuit(
+                np.zeros(512, np.float32),
+                ESConfig(num_parents=4, num_offspring=12, num_dimensions=8,
+                         topology="fm2_parallel", audio_length_log2=9,
+                         param_mins=(0.0,) * 8,
+                         param_maxs=(3520.0, 8.0, 3520.0, 1.0) * 2),
+            )
+
+    def test_multi_start_consumes_attempts(self):
+        """target_rel tighter than a tiny-budget run can reach: all
+        attempts consumed, best returned, f32-scored acceptance."""
+        from pmfm_tpu.es.staged import match_series_pursuit
+        from pmfm_tpu.ops import synthesize_single
+        from pmfm_tpu.ops.synthesis import scale_params
+
+        cfg = self._cfg(k=4)
+        genes = jnp.asarray([0.5, 0.3, 0.6, 0.2, 0.7, 0.25, 0.4, 0.5])
+        scaled = scale_params(
+            genes[None], jnp.asarray(cfg.param_mins),
+            jnp.asarray(cfg.param_maxs),
+        )[0]
+        audio = synthesize_single(scaled, cfg.n_samples, cfg.topology,
+                                  engine="scanless")
+        r = match_series_pursuit(
+            np.asarray(audio), cfg, key=2, target_rel=1e-9, max_attempts=2,
+            stage_population=128, core_generations=6, core_tries=1,
+            grow_generations=4, grow_tries=1, repair_rounds=0,
+            joint_generations=6,
+        )
+        assert r.attempts == 2
+        assert np.isfinite(r.best_fitness)

@@ -75,6 +75,12 @@ TRUE_GENES_BY_TOPOLOGY = {
                      0.71, 0.20, 0.45, 0.7,
                      0.33, 0.40, 0.28, 0.6,
                      0.62, 0.15, 0.93, 0.5),
+    # generic serial chains (VERDICT r4 weak #1: the fm{k}_series capability
+    # shipped ungated) — the fm3_series reference genes extended by one/two
+    # (freq, index) operator pairs at moderate indices
+    "fm4_series": (0.874, 0.25, 0.857, 0.1875, 0.892, 0.15, 0.85, 0.125),
+    "fm5_series": (0.874, 0.25, 0.857, 0.1875, 0.892, 0.15,
+                   0.85, 0.10, 0.80, 0.125),
 }
 TRUE_GENES = TRUE_GENES_BY_TOPOLOGY["fm3_series"]
 
@@ -303,19 +309,24 @@ def main(argv=None) -> int:
         over = dict(VARIANTS[name])
         is_pursuit = over.pop("_pursuit", False)
         if is_pursuit:
-            from pmfm_tpu.es.staged import match_parallel_pursuit
-            from pmfm_tpu.ops.synthesis import parallel_pairs
+            from pmfm_tpu.es.staged import (
+                match_parallel_pursuit, match_series_pursuit,
+            )
+            from pmfm_tpu.ops.synthesis import parallel_pairs, series_ops
 
-            if parallel_pairs(args.topology) is None:
-                print(f"{name}: SKIP (needs an fm{{k}}_parallel topology, "
-                      f"got {args.topology})")
+            if parallel_pairs(args.topology) is not None:
+                solver = match_parallel_pursuit
+            elif (series_ops(args.topology) or 0) >= 4:
+                solver = match_series_pursuit  # round-5 chain homotopy
+            else:
+                print(f"{name}: SKIP (needs fm{{k}}_parallel or "
+                      f"fm{{k>=4}}_series, got {args.topology})")
                 continue
             cfg = base.replace(**over)
             finals, gens_list = [], []
             t0 = time.time()
             for s in range(args.seed_offset, args.seed_offset + args.seeds):
-                r = match_parallel_pursuit(audio, cfg,
-                                           key=jax.random.PRNGKey(s))
+                r = solver(audio, cfg, key=jax.random.PRNGKey(s))
                 finals.append(r.best_values)
                 gens_list.append(r.generations_used)
             finals = np.stack(finals)
@@ -335,7 +346,7 @@ def main(argv=None) -> int:
                     key: gens_to_converge(seg_fits, boundaries, t)
                     for key, t in thr_items
                 },
-                "solver": "match_parallel_pursuit (es/staged.py, default "
+                "solver": f"{solver.__name__} (es/staged.py, default "
                           "knobs; own stage/alias budget — see "
                           "generations_used)",
             }

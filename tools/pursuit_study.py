@@ -1,14 +1,17 @@
-"""Study harness for the fm{k}_parallel matching-pursuit solver
-(pmfm_tpu/es/staged.py) on the known-parameter target.
+"""Study harness for the staged solvers (pmfm_tpu/es/staged.py) on the
+known-parameter target: fm{k}_parallel -> match_parallel_pursuit,
+fm{k}_series (k >= 4) -> match_series_pursuit (the round-5
+exact-reduction homotopy).
 
-Per seed: run match_parallel_pursuit, rescore the recovered genes under the
+Per seed: run the solver, rescore the recovered genes under the
 independent f32/jnp.sin engine, report frac_converged at relative spectral
 error thresholds (BASELINE-style rel = sqrt(fitness / target_energy)).
 
     python tools/pursuit_study.py --seeds 8 --verbose          # quick look
     python tools/pursuit_study.py --seeds 32 --seed-offset 64  # holdout
+    python tools/pursuit_study.py --topology fm4_series --seeds 8
 
-Writes --json (default benchmarks/pursuit_fm3_parallel.json).
+Writes --json (default benchmarks/pursuit_<topology>.json).
 """
 import argparse
 import json
@@ -38,6 +41,11 @@ def main(argv=None):
     ap.add_argument("--joint-gens", type=int, default=500)
     ap.add_argument("--repair-rounds", type=int, default=0)
     ap.add_argument("--repair-gens", type=int, default=400)
+    # series-chain solver knobs (fm{k}_series topologies)
+    ap.add_argument("--core-gens", type=int, default=600)
+    ap.add_argument("--core-tries", type=int, default=2)
+    ap.add_argument("--grow-gens", type=int, default=300)
+    ap.add_argument("--grow-tries", type=int, default=2)
     ap.add_argument("--target-rel", type=float, default=0.0,
                     help="self-scored accept threshold (enables multi-start)")
     ap.add_argument("--max-attempts", type=int, default=1)
@@ -49,6 +57,18 @@ def main(argv=None):
     ap.add_argument("--engine", default="int8",
                     choices=("int8", "f32"),
                     help="joint-polish engine")
+    ap.add_argument("--target-engine", default="scan",
+                    choices=("scan", "scanless"),
+                    help="engine that renders the known-params target. "
+                    "'scan' (wavetable-floor reference parity) is the "
+                    "historic choice and is fine for the parallel families "
+                    "(shallow modulation), but DEEP SERIAL CHAINS are "
+                    "chaotic in the scan/scanless engine difference: the "
+                    "TRUTH genes themselves rescore at ~7.7%% relative "
+                    "spectral error against a scan-rendered fm4_series "
+                    "target (round-5 diagnostic). Series gates use "
+                    "'scanless' so the gate measures the solver, not the "
+                    "engine-parity floor.")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--json", default=None,
                     help="output path (default benchmarks/pursuit_<topology>.json)")
@@ -66,8 +86,9 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from pmfm_tpu.es import ESConfig, make_spectrum_ops
-    from pmfm_tpu.es.staged import match_parallel_pursuit
+    from pmfm_tpu.es.staged import match_parallel_pursuit, match_series_pursuit
     from pmfm_tpu.es.strategy import evaluate
+    from pmfm_tpu.ops.synthesis import series_ops
     from pmfm_tpu.models import get_topology
     from pmfm_tpu.ops import synthesize_single
     from pmfm_tpu.ops.spectral import target_spectrum
@@ -80,7 +101,10 @@ def main(argv=None):
     engine = (
         dict(dft_dtype="int8", fused_kernel=True, fused_generation=True)
         if args.engine == "int8"
-        else dict(dft_dtype="float32")
+        # round 5: float32 + fused flags = the TRUE-f32 fused kernel
+        # (2.1 ms/gen at 2^15 vs ~8 unfused) — the f32 polish is affordable
+        else dict(dft_dtype="float32", fused_kernel=True,
+                  fused_generation=True)
     )
     cfg = ESConfig(
         num_parents=mu, num_offspring=pop - mu,
@@ -96,7 +120,8 @@ def main(argv=None):
     scaled = scale_params(
         truth[None], jnp.asarray(cfg.param_mins), jnp.asarray(cfg.param_maxs)
     )[0]
-    audio = synthesize_single(scaled, cfg.n_samples, cfg.topology)
+    audio = synthesize_single(scaled, cfg.n_samples, cfg.topology,
+                              engine=args.target_engine)
 
     cfg32 = cfg.replace(dft_dtype="float32", fused_kernel=False,
                         fused_generation=False, refine_generations=0)
@@ -107,12 +132,22 @@ def main(argv=None):
     print(f"target energy {tgt_energy:.6g}; thresholds "
           + ", ".join(f"{k}={v:.4g}" for k, v in thr.items()), flush=True)
 
-    fits, rels, gens_used, attempts = [], [], [], []
-    t_all = time.time()
-    for s in range(args.seed_offset, args.seed_offset + args.seeds):
-        t0 = time.time()
-        r = match_parallel_pursuit(
-            audio, cfg, key=jax.random.PRNGKey(s),
+    is_series = series_ops(args.topology) is not None
+
+    def solve(key):
+        if is_series:
+            return match_series_pursuit(
+                audio, cfg, key=key,
+                stage_population=1 << args.stage_pop_log2,
+                core_generations=args.core_gens, core_tries=args.core_tries,
+                grow_generations=args.grow_gens, grow_tries=args.grow_tries,
+                repair_rounds=args.repair_rounds,
+                repair_generations=args.repair_gens,
+                joint_generations=args.joint_gens,
+                target_rel=args.target_rel, max_attempts=args.max_attempts,
+            )
+        return match_parallel_pursuit(
+            audio, cfg, key=key,
             stage_population=1 << args.stage_pop_log2,
             peel_generations=args.peel_gens, peel_tries=args.peel_tries,
             tail_generations=args.tail_gens, tail_tries=args.tail_tries,
@@ -124,6 +159,12 @@ def main(argv=None):
             target_rel=args.target_rel,
             max_attempts=args.max_attempts,
         )
+
+    fits, rels, gens_used, attempts = [], [], [], []
+    t_all = time.time()
+    for s in range(args.seed_offset, args.seed_offset + args.seeds):
+        t0 = time.time()
+        r = solve(jax.random.PRNGKey(s))
         f32_fit = float(
             evaluate(jnp.asarray(r.best_values)[None], tspec32, so32, cfg32)[0]
         )
@@ -151,8 +192,13 @@ def main(argv=None):
             joint_gens=args.joint_gens, refine_gens=args.refine_gens,
             repair_rounds=args.repair_rounds,
             repair_gens=args.repair_gens,
+            core_gens=args.core_gens, core_tries=args.core_tries,
+            grow_gens=args.grow_gens, grow_tries=args.grow_tries,
+            solver="match_series_pursuit" if is_series
+                   else "match_parallel_pursuit",
             target_rel=args.target_rel, max_attempts=args.max_attempts,
-            engine=args.engine, seed_offset=args.seed_offset,
+            engine=args.engine, target_engine=args.target_engine,
+            seed_offset=args.seed_offset,
             seeds=args.seeds, tgt_energy=tgt_energy,
             true_genes=list(map(float, TRUE_GENES_BY_TOPOLOGY[args.topology])),
             scoring="f32/jnp.sin rescore",
