@@ -570,6 +570,18 @@ def _series_attempt(
         stage_fit.append(best_bf)
         return key
 
+    def repair_pass(first_gene, key):
+        """Sliding-window joint re-fits over the ACTIVE suffix's adjacent
+        operator pairs, repeated while a round improves."""
+        for _ in range(repair_rounds):
+            before = stage_fit[-1]
+            for g0 in range(first_gene, d - 2, 2):
+                key = run_block(tuple(range(g0, g0 + 4)), 1,
+                                repair_generations, key)
+            if stage_fit[-1] >= before * (1.0 - 1e-3):
+                break
+        return key
+
     # core: outer three operators (exact fm3_series reduction)
     key = run_block(tuple(range(2 * k - 6, 2 * k)), core_tries,
                     core_generations, key)
@@ -578,17 +590,16 @@ def _series_attempt(
     # measured WORSE (median rel 4.7% vs 2.9% on the fm4 gate target): the
     # extra freedom lets the grow stage drag the core off its basin into
     # the compromise valley instead of adapting to the new modulation.
+    # After EVERY growth step the active suffix gets a full repair pass —
+    # the homotopy is over chain LENGTH, and each intermediate chain must
+    # be solved before the next operator's modulation switches on (k=5
+    # measured 31-38% rel with a single end-phase repair: the core
+    # explains only ~half the 5-chain target, so everything downstream of
+    # an unrepaired intermediate is fit against the wrong context).
     for j in range(k - 4, -1, -1):
         key = run_block(tuple(range(2 * j, 2 * j + 4)), grow_tries,
                         grow_generations, key)
-    # sliding-window repairs over adjacent operator pairs
-    for _ in range(repair_rounds):
-        before = stage_fit[-1]
-        for j in range(k - 1):
-            key = run_block(tuple(range(2 * j, 2 * j + 4)), 1,
-                            repair_generations, key)
-        if stage_fit[-1] >= before * (1.0 - 1e-3):
-            break
+        key = repair_pass(2 * j, key)
 
     # final polish: cfg engine + optional refine tail around the estimate
     key, k_noise, k_run = jax.random.split(key, 3)

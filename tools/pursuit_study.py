@@ -69,6 +69,12 @@ def main(argv=None):
                     "target (round-5 diagnostic). Series gates use "
                     "'scanless' so the gate measures the solver, not the "
                     "engine-parity floor.")
+    ap.add_argument("--truth-key", default=None,
+                    help="TRUE_GENES_BY_TOPOLOGY key to use as the target "
+                    "genes (default: the topology name). E.g. "
+                    "'fm5_series_mild' — the matchable moderate-modulation "
+                    "5-chain gate target (the aggressive fm5_series truth "
+                    "is chaos-walled, benchmarks/series_chaos.json).")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--json", default=None,
                     help="output path (default benchmarks/pursuit_<topology>.json)")
@@ -116,7 +122,9 @@ def main(argv=None):
         restart_patience=100, refine_generations=args.refine_gens,
         **engine,
     )
-    truth = jnp.asarray(TRUE_GENES_BY_TOPOLOGY[args.topology])
+    truth = jnp.asarray(
+        TRUE_GENES_BY_TOPOLOGY[args.truth_key or args.topology]
+    )
     scaled = scale_params(
         truth[None], jnp.asarray(cfg.param_mins), jnp.asarray(cfg.param_maxs)
     )[0]
@@ -177,7 +185,7 @@ def main(argv=None):
             print(f"  stage_fitness {np.array2string(r.stage_fitness, precision=5)} "
                   f"alias_fitness {np.array2string(r.alias_fitness, precision=5)}")
         print(f"seed {s}: f32 {f32_fit:.4g} rel {rel:.4f} "
-              f"({'PASS' if f32_fit <= thr['rel0.03'] else 'no'}) "
+              f"({'PASS' if f32_fit <= list(thr.values())[0] else 'no'}) "
               f"{r.generations_used}g {r.attempts}att "
               f"{time.time()-t0:.0f}s", flush=True)
 
@@ -200,7 +208,10 @@ def main(argv=None):
             engine=args.engine, target_engine=args.target_engine,
             seed_offset=args.seed_offset,
             seeds=args.seeds, tgt_energy=tgt_energy,
-            true_genes=list(map(float, TRUE_GENES_BY_TOPOLOGY[args.topology])),
+            true_genes=list(map(
+                float, TRUE_GENES_BY_TOPOLOGY[args.truth_key or args.topology]
+            )),
+            truth_key=args.truth_key or args.topology,
             scoring="f32/jnp.sin rescore",
         ),
         "fits": fits.tolist(),
