@@ -261,6 +261,15 @@ def _fused_vmem_bytes(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> int:
         + 2 * (8 * vr * pb + 4 * pb)
         + (1 << 20)
     )
+    # multi-frame STFT fitness unrolls the per-frame DFT+epilogue inside
+    # the kernel and Mosaic keeps several (K, PB) f32 epilogue temporaries
+    # live across the unrolled frames: measured 24.32 MB scoped (vs the
+    # 16 MB limit) at int8 n=2048/K=1024/PB=1024/F=8 where the F=1 terms
+    # above say ~5 MB. Charge ~3 such temporaries when F > 1 — calibrated
+    # to reject that shape while keeping the known-good F=8 n=1024 and
+    # every single-frame config unchanged.
+    if cfg.num_frames > 1:
+        other += 3 * k * pb * 4
     return dft_bytes + scratch_bytes + other
 
 

@@ -163,22 +163,75 @@ def main(argv=None):
               flush=True)
     out["chunk_mode"] = results
 
-    # STFT mode: one run scored over all frames
+    # STFT mode: one run scored over all frames. pop_block 512: at n=2048
+    # with 8 frames the fused kernel's unrolled per-frame fit epilogue
+    # needs (K, PB) f32 temporaries — PB=1024 measured 24.3 MB scoped VMEM
+    # (the gate now rejects it); PB=512 fits. The rescorer must be the
+    # MULTI-FRAME f32 evaluator: a candidate's frame i is the i-th segment
+    # of its continuous F*N-sample render, not a fresh phase-zero render.
+    from pmfm_tpu.ops.spectral import target_spectrum_frames
+
+    cfg32f = cfg32.replace(num_frames=n_chunks, pop_block=512)
+    so32f = make_spectrum_ops(cfg32f)
+
+    def rescore_stft(genes, target_f32):
+        tframes = target_spectrum_frames(jnp.asarray(target_f32), so32f)
+        f = float(evaluate(jnp.asarray(genes, jnp.float32)[None], tframes,
+                           so32f, cfg32f)[0])
+        e = float(np.sum(np.asarray(tframes, np.float64) ** 2))
+        return f, float(np.sqrt(max(f, 0.0) / e))
+
     stft = {}
     for name, over in ENGINES.items():
-        cfg = base.replace(**over)
+        cfg = base.replace(pop_block=512, **over)
         t0 = time.time()
         res = match_audio_stft(np.asarray(audio, np.float32), cfg, key=0,
                                num_generations=args.gens)
         dt = time.time() - t0
-        genes = res.chunks[0].best_params_norm
-        fits = [rescore(genes, i) for i in range(n_chunks)]
-        tot = sum(f for f, _ in fits)
-        rel = float(np.sqrt(tot / sum(energies)))
+        tot, rel = rescore_stft(res.chunks[0].best_params_norm,
+                                audio[: n_chunks * n])
         stft[name] = dict(total_f32_fitness=tot, rel=rel,
                           wall_seconds=round(dt, 1))
         print(f"{name:18s} stft-mode rel {rel:.4f} ({dt:.0f}s)", flush=True)
     out["stft_mode"] = stft
+
+    # STFT mode, MATCHED use-case: one sustained voice across all frames
+    # (the mode exists for long targets of a single evolving source; the
+    # block above scores it against input.wav's 8 DIFFERENT voices, where
+    # ~75% residual is the best single-parameter compromise, not an engine
+    # property). MODEL-SCALE target, deliberately NOT peak-normalised: in
+    # the reference parameterisation the last gene is BOTH the output
+    # amplitude factor and the output operator's base frequency
+    # (Evolutionary_Strategy.hpp:403-448: ms[2]=p4*p5 AND cs[1]=p5), so a
+    # loudness-normalised target cannot be matched coherently over many
+    # frames — rescaling the amplitude necessarily moves a sub-audio
+    # frequency, which decoheres the late frames (~0.37 cycles by frame 8;
+    # the amp-rescaled TRUTH itself rescores at 95% relative error).
+    # Chunk mode tolerates the coupling (46 ms windows); long-window STFT
+    # matching of normalised recordings would need a loudness-invariant
+    # fitness — a documented model-family limitation, not an engine bug.
+    from pmfm_tpu.ops import synthesize_single
+
+    sus = np.asarray(synthesize_single(
+        jnp.asarray(VOICES[0], jnp.float32), n_chunks * n, "fm3_series",
+        sample_rate=sr, engine="scanless",
+    )).astype(np.float32)
+    # sanity anchor: the truth genes under the multi-frame scorer (same
+    # construction as the target -> ~0; recorded so the artifact carries
+    # its own scoring-correctness proof)
+    mins = np.asarray(base.param_mins, np.float32)
+    maxs = np.asarray(base.param_maxs, np.float32)
+    truth_genes = (np.asarray(VOICES[0], np.float32) - mins) / (maxs - mins)
+    _, truth_rel = rescore_stft(truth_genes, sus)
+    print(f"stft-sustained truth anchor rel {truth_rel:.2e}", flush=True)
+    stft_sus = {"truth_anchor_rel": truth_rel}
+    for name, over in ENGINES.items():
+        cfg = base.replace(pop_block=512, **over)
+        res = match_audio_stft(sus, cfg, key=0, num_generations=args.gens)
+        tot, rel = rescore_stft(res.chunks[0].best_params_norm, sus)
+        stft_sus[name] = dict(total_f32_fitness=tot, rel=rel)
+        print(f"{name:18s} stft-sustained rel {rel:.4f}", flush=True)
+    out["stft_mode_sustained_voice"] = stft_sus
 
     # off-manifold recording (no truth): chunk-mode residuals per engine
     rec = nonfm_recording(n_chunks * n, sr)
