@@ -242,7 +242,7 @@ def _fused_vmem_bytes(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> int:
     # synth_fitness.F32_MAX_POP_BLOCK)
     eb = spectrum_ops.dft_packed.dtype.itemsize
     if eb == 4:
-        pb = f32_pop_block(pop, cfg.pop_block)
+        pb = f32_pop_block(pop, cfg.pop_block, cfg.topology)
     else:
         pb = resolve_pop_block(pop, cfg.pop_block)
     dft_bytes = 2 * k * (n // 2) * eb  # folded operand

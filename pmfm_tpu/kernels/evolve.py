@@ -285,7 +285,7 @@ def fused_evolve(
     k = dft_packed.shape[0] // 2
     vr = _round8(d)
     pb = (
-        f32_pop_block(pop, pop_block)
+        f32_pop_block(pop, pop_block, topology)
         if dft_scale == 0.0 and dft_packed.dtype == jnp.float32
         else resolve_pop_block(pop, pop_block)
     )

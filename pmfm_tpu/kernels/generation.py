@@ -338,7 +338,7 @@ def fused_generation(
         and dft_packed is not None
         and dft_packed.dtype == jnp.float32
     )
-    pb = f32_pop_block(pop, pop_block) if _f32 else resolve_pop_block(pop, pop_block)
+    pb = f32_pop_block(pop, pop_block, topology) if _f32 else resolve_pop_block(pop, pop_block)
     if n % (2 * time_block):
         raise ValueError(
             f"n={n} must be a multiple of {2 * time_block} (the folded DFT "

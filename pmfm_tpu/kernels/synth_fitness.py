@@ -48,15 +48,30 @@ def resolve_pop_block(pop: int, pop_block: int) -> int:
 
 # True-f32 engine pop-block cap: the f32 scratches (4 B/sample) plus the
 # HIGHEST-precision matmuls' operand-decomposition buffers overflow scoped
-# VMEM at PB=1024 (measured 16.57 MB vs the 16 MB limit, n=1024 fused
-# generation — tools/tpu_f32_tail_probe.py); PB=512 fits with headroom.
+# VMEM at PB=1024 (measured 16.57 MB vs the 16 MB limit, n=1024 fm3_series
+# fused generation — tools/tpu_f32_tail_probe.py); PB=512 fits there with
+# headroom. High-dimensional / many-chain topologies carry more live f32
+# synthesis state per lane: fm4_parallel (D=16, 4 chains) measured
+# 22.17 MB at PB=512 — those halve again to 256 (fm4_series, D=8 /
+# 3 chains, is hardware-validated fine at 512).
 F32_MAX_POP_BLOCK = 512
 
 
-def f32_pop_block(pop: int, pop_block: int) -> int:
+def f32_pop_block(pop: int, pop_block: int, topology: str = "fm3_series") -> int:
     """resolve_pop_block with the true-f32 engine's cap applied — shared by
     the kernels and the VMEM gate (strategy._fused_vmem_bytes)."""
-    return resolve_pop_block(pop, min(pop_block, F32_MAX_POP_BLOCK))
+    cap = F32_MAX_POP_BLOCK
+    from .synth_fitness import _chain_count  # self-import safe at call time
+
+    if _chain_count(topology) >= 4 or topology_dims_for_cap(topology) >= 12:
+        cap //= 2
+    return resolve_pop_block(pop, min(pop_block, cap))
+
+
+def topology_dims_for_cap(topology: str) -> int:
+    from ..ops.synthesis import topology_dims
+
+    return topology_dims(topology)
 
 
 def _chain_count(topology: str) -> int:
@@ -687,7 +702,7 @@ def fused_synth_fitness(
         and dft_packed is not None
         and dft_packed.dtype == jnp.float32
     )
-    pb = f32_pop_block(pop, pop_block) if _f32 else resolve_pop_block(pop, pop_block)
+    pb = f32_pop_block(pop, pop_block, topology) if _f32 else resolve_pop_block(pop, pop_block)
     if n % (2 * time_block):
         raise ValueError(
             f"n={n} must be a multiple of {2 * time_block} (the folded DFT "

@@ -74,7 +74,7 @@ class TestConfigMapping:
         assert rc.es.num_dimensions == 16
         kw = pursuit_kwargs_from_config(rc.pursuit)
         assert kw == {"repair_rounds": 3, "alias_rounds": 6, "tail_tries": 3,
-                      "target_rel": 0.03, "max_attempts": 3}
+                      "target_rel": 0.03, "max_attempts": 6}
 
     def test_unknown_key_raises(self):
         with pytest.raises(ValueError, match="unknown tpu.pursuit key"):

@@ -28,6 +28,7 @@ def main(argv):
     rels = [r for d in docs for r in d["rel_errors"]]
     gens = [g for d in docs for g in d["generations_used"]]
     atts = [a for d in docs for a in d.get("attempts", [1] * len(d["fits"]))]
+    secs = [t for d in docs for t in d.get("seed_seconds", [])]
     tgt_energy = docs[0]["meta"]["tgt_energy"]
     fits_a = np.asarray(fits)
     thresholds = {
@@ -39,12 +40,14 @@ def main(argv):
         "rel_errors": rels,
         "generations_used": gens,
         "attempts": atts,
+        "seed_seconds": secs,
         "frac_converged": {
             k: float(np.mean(fits_a <= v)) for k, v in thresholds.items()
         },
         "median_fit": float(np.median(fits_a)),
         "median_rel": float(np.median(rels)),
         "mean_attempts": float(np.mean(atts)),
+        "median_seed_seconds": float(np.median(secs)) if secs else None,
     }
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1)
