@@ -259,12 +259,17 @@ def main(argv: list[str] | None = None) -> int:
         if n == 0:
             print("error: target shorter than one frame", file=sys.stderr)
             return 2
+        aot_mesh = args.mesh or (
+            int(np.prod(run_cfg.mesh_shape)) if run_cfg.mesh_shape else None
+        )
         path = aot.save_matcher(args.export_aot, cfg, num_generations,
-                                target_samples=n)
+                                target_samples=n, mesh_devices=aot_mesh)
         if not args.quiet:
             print(f"exported AOT matcher to {path} "
                   f"({os.path.getsize(path)} bytes, target_samples={n}, "
-                  f"generations={num_generations})")
+                  f"generations={num_generations}"
+                  + (f", mesh_devices={aot_mesh}" if aot_mesh else "")
+                  + ")")
         return 0
 
     # --- mesh (population sharding across devices) ------------------------

@@ -18,10 +18,14 @@ Artifact format (one file)::
 The header carries the full ESConfig, generation count, target length and
 platforms, so ``load_matcher`` needs no side-channel configuration.
 
-LIMITATION: export is SINGLE-CHIP only — the matcher is traced without a
-mesh, so population-sharded (``--mesh``) runs cannot be exported; serve
-sharded matchers live instead (parallel/sharded.py). The reference has no
-AOT capability at all, so this bounds an upgrade, not a parity gap.
+MESH EXPORT (round 5): ``export_matcher(..., mesh_devices=M)`` traces the
+population-SHARDED matcher (parallel/sharded.py) over an M-device mesh;
+``jax.export`` records the device count and shardings, and the artifact's
+header carries ``mesh_devices`` so ``load_matcher`` can verify the
+consumer has at least that many devices of the export platform. A
+single-chip artifact (the default) stays exactly as before. The reference
+has no AOT capability at all, so either flavour bounds an upgrade, not a
+parity gap.
 """
 from __future__ import annotations
 
@@ -69,7 +73,7 @@ def config_from_dict(d: dict) -> ESConfig:
     return ESConfig(**d)
 
 
-def _make_run(cfg: ESConfig, num_generations: int):
+def _make_run(cfg: ESConfig, num_generations: int, mesh=None):
     """(seed u32 scalar, target_audio (F*N,) f32) -> flat dict of results.
 
     Wraps the flagship STFT matcher (es/pipeline._compiled_stft_matcher —
@@ -77,10 +81,12 @@ def _make_run(cfg: ESConfig, num_generations: int):
     behind a plain-array signature: PRNG key construction moves inside so
     callers pass a u32 seed, and the output is a string-keyed dict (natively
     serializable pytree; no custom-type registration needed on the consumer
-    side)."""
+    side). With ``mesh`` the evolve loop runs population-sharded
+    (parallel/sharded.py shard_map collectives — exported as StableHLO
+    collectives over the mesh's device count)."""
     from ..es.pipeline import _compiled_stft_matcher
 
-    inner = _compiled_stft_matcher(cfg, num_generations, False, None)
+    inner = _compiled_stft_matcher(cfg, num_generations, False, mesh)
 
     def run(seed, target_audio):
         final, _traj, best_scaled, best_audio = inner(
@@ -106,6 +112,7 @@ def export_matcher(
     *,
     platforms: Sequence[str] | None = None,
     allow_unstable_custom_calls: bool = True,
+    mesh_devices: int | None = None,
 ) -> bytes:
     """Export the STFT matcher for ``cfg`` to a serialized artifact.
 
@@ -128,7 +135,12 @@ def export_matcher(
             f"the frame size {n}"
         )
     cfg = cfg.replace(num_frames=target_samples // n)
-    run = _make_run(cfg, num_generations)
+    mesh = None
+    if mesh_devices is not None and mesh_devices > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(shape=(mesh_devices,))
+    run = _make_run(cfg, num_generations, mesh)
     kwargs: dict[str, Any] = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
@@ -146,6 +158,10 @@ def export_matcher(
         "num_generations": num_generations,
         "target_samples": target_samples,
         "platforms": list(exported.platforms),
+        # number of mesh devices the computation was traced over (1 =
+        # single-chip); jax.export also records it (exported.nr_devices),
+        # the header copy makes the artifact self-describing pre-parse
+        "mesh_devices": int(getattr(exported, "nr_devices", 1)),
     }
     hdr = json.dumps(header, sort_keys=True).encode()
     buf = io.BytesIO()
@@ -176,11 +192,13 @@ class AOTMatcher:
     """
 
     def __init__(self, cfg: ESConfig, num_generations: int,
-                 target_samples: int, platforms: list[str], exported):
+                 target_samples: int, platforms: list[str], exported,
+                 mesh_devices: int = 1):
         self.cfg = cfg
         self.num_generations = num_generations
         self.target_samples = target_samples
         self.platforms = platforms
+        self.mesh_devices = mesh_devices
         self._exported = exported
 
     def __call__(self, seed: int, target_audio: np.ndarray) -> dict[str, np.ndarray]:
@@ -190,7 +208,26 @@ class AOTMatcher:
                 f"artifact expects target of shape ({self.target_samples},), "
                 f"got {target_audio.shape}"
             )
-        out = self._exported.call(jnp.uint32(seed), jnp.asarray(target_audio))
+        if self.mesh_devices > len(jax.devices()):
+            raise RuntimeError(
+                f"artifact was exported over a {self.mesh_devices}-device "
+                f"mesh but only {len(jax.devices())} devices are visible"
+            )
+        if self.mesh_devices > 1:
+            # a multi-device export must be CALLED in a context with the
+            # same device count: jit the call with replicated argument
+            # shardings over a mesh of exactly nr_devices — the exported
+            # computation's internal shardings take over from there
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            mesh = Mesh(
+                np.asarray(jax.devices()[: self.mesh_devices]), ("aot",)
+            )
+            rep = NamedSharding(mesh, PartitionSpec())
+            call = jax.jit(self._exported.call, in_shardings=(rep, rep))
+        else:
+            call = self._exported.call
+        out = call(jnp.uint32(seed), jnp.asarray(target_audio))
         return {k: np.asarray(v) for k, v in out.items()}
 
 
@@ -216,4 +253,5 @@ def load_matcher(src: str | os.PathLike | bytes) -> AOTMatcher:
         target_samples=int(header["target_samples"]),
         platforms=list(header["platforms"]),
         exported=exported,
+        mesh_devices=int(header.get("mesh_devices", 1)),
     )

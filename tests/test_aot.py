@@ -91,3 +91,45 @@ class TestCLI:
         assert rc == 0
         out = capsys.readouterr().out
         assert "Overall best parameters found" in out
+
+
+class TestMeshExport:
+    """Round-5 mesh-aware export (VERDICT r4 #9): the population-sharded
+    matcher exports with its mesh axes; the artifact records the device
+    count and the loader re-establishes a calling context of that size."""
+
+    def test_mesh_export_round_trip_matches_live_sharded(self):
+        import jax
+
+        from pmfm_tpu.es.pipeline import _compiled_stft_matcher
+        from pmfm_tpu.parallel import make_mesh
+
+        ndev = len(jax.devices())
+        if ndev < 8:
+            pytest.skip("needs the 8-virtual-device test mesh")
+        cfg = CFG.replace(num_parents=16, num_offspring=240)
+        target = _target(cfg.n_samples, seed=4)
+        blob = aot.export_matcher(
+            cfg, num_generations=10, target_samples=cfg.n_samples,
+            mesh_devices=8,
+        )
+        m = aot.load_matcher(blob)
+        assert m.mesh_devices == 8
+        out = m(5, target)
+        live = _compiled_stft_matcher(
+            cfg.replace(num_frames=1), 10, False, make_mesh(shape=(8,))
+        )
+        fin, _, best_scaled, _ = live(
+            jax.random.PRNGKey(5), np.asarray(target)
+        )
+        np.testing.assert_allclose(
+            out["best_fitness"], float(fin.best_fitness), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            out["best_params_scaled"], np.asarray(best_scaled), rtol=1e-6
+        )
+
+    def test_header_records_mesh_devices(self, tmp_path):
+        blob = aot.export_matcher(CFG, num_generations=5, target_samples=256)
+        m = aot.load_matcher(blob)
+        assert m.mesh_devices == 1  # single-chip default unchanged
