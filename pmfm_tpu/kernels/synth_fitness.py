@@ -60,18 +60,12 @@ F32_MAX_POP_BLOCK = 512
 def f32_pop_block(pop: int, pop_block: int, topology: str = "fm3_series") -> int:
     """resolve_pop_block with the true-f32 engine's cap applied — shared by
     the kernels and the VMEM gate (strategy._fused_vmem_bytes)."""
-    cap = F32_MAX_POP_BLOCK
-    from .synth_fitness import _chain_count  # self-import safe at call time
-
-    if _chain_count(topology) >= 4 or topology_dims_for_cap(topology) >= 12:
-        cap //= 2
-    return resolve_pop_block(pop, min(pop_block, cap))
-
-
-def topology_dims_for_cap(topology: str) -> int:
     from ..ops.synthesis import topology_dims
 
-    return topology_dims(topology)
+    cap = F32_MAX_POP_BLOCK
+    if _chain_count(topology) >= 4 or topology_dims(topology) >= 12:
+        cap //= 2
+    return resolve_pop_block(pop, min(pop_block, cap))
 
 
 def _chain_count(topology: str) -> int:
