@@ -314,6 +314,25 @@ def _synth_fold_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
     )
 
 
+def _synth_stream_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
+    """Whether the huge-frame hybrid applies (kernels/synth_stream.py):
+    streamed Pallas synthesis+window feeding the four-step factored DFT.
+    Covers the n > 32768 range where synth_fold's (N/2, PB) fold blocks
+    exceed scoped VMEM: the streamed kernel's VMEM tenants are one
+    (TC, PB) time-chunk block (TC = 1024 samples), so it holds at any n
+    the factored spectrum accepts."""
+    from ..kernels.synth_fitness import TIME_BLOCK
+
+    return (
+        (cfg.fused_kernel or cfg.fused_generation)
+        and spectrum_ops.method == "dft_factored"
+        and spectrum_ops.factored is not None
+        and cfg.num_frames == 1
+        and cfg.n_samples % TIME_BLOCK == 0
+        and _final_pop_block_ok(cfg)
+    )
+
+
 def _final_pop_block_ok(cfg: ESConfig) -> bool:
     """Mosaic needs the lane dim to be a multiple of 128 or the whole array:
     check the pop_block that survives the kernels' normalisation."""
@@ -337,6 +356,8 @@ def active_engine(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> str:
         also what a fused_generation config runs on CPU (interpret mode —
         the in-kernel PRNG is hardware-only) or with non-CLT noise.
       synth_fold — large-frame hybrid (Pallas synth+fold, XLA folded DFT)
+      synth_stream — huge-frame hybrid (streamed Pallas synth+window,
+        XLA four-step factored DFT; n > 32768)
       xla_stft — multi-frame STFT fitness on the plain XLA path
       xla_folded_dft — XLA synthesis + folded bf16/int8-family DFT matmul
       xla_dft / xla_rfft — plain XLA spectrum paths
@@ -351,6 +372,8 @@ def active_engine(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> str:
         return "fused_kernel"
     if _synth_fold_ok(cfg, spectrum_ops):
         return "synth_fold"
+    if _synth_stream_ok(cfg, spectrum_ops):
+        return "synth_stream"
     if cfg.num_frames > 1:
         return "xla_stft"
     if (
@@ -422,6 +445,34 @@ def evaluate(
         )
         spectra = spectral.magnitude_spectrum_prefolded(
             ap, am, edge, ms, spectrum_ops
+        )
+        return spectral.spectral_fitness(spectra, target_spectrum)
+    if _synth_stream_ok(cfg, spectrum_ops):
+        # huge-frame hybrid (n > 32768): streamed Pallas synthesis+window
+        # (phase carries ride scratch across the time-chunk grid axis; the
+        # only HBM traffic is the windowed bf16/f32 audio itself), then the
+        # four-step factored matmul DFT in XLA (kernels/synth_stream.py)
+        import jax as _jax
+
+        from ..kernels.synth_stream import fused_synth_stream
+
+        audio_w = fused_synth_stream(
+            scaled,
+            spectrum_ops.window,
+            topology=cfg.topology,
+            n=cfg.n_samples,
+            wavetable_size=cfg.wavetable_size,
+            sample_rate=cfg.sample_rate,
+            pop_block=cfg.pop_block,
+            interpret=_jax.default_backend() == "cpu",
+            sine_order=cfg.sine_order,
+            # the true-f32 engine keeps f32 emission + HIGHEST matmuls;
+            # bf16 AND int8 configs stream bf16 (the factored DFT has no
+            # int8 operand — documented degradation, ops/spectral.py)
+            audio_f32=spectrum_ops.dft_dtype == jnp.float32,
+        )
+        spectra = spectral.magnitude_spectrum_factored(
+            audio_w, spectrum_ops, prewindowed=True
         )
         return spectral.spectral_fitness(spectra, target_spectrum)
     audio = synthesis.synthesize(

@@ -501,7 +501,7 @@ def _factored_chunk(n: int, pop: int) -> int:
 
 
 def magnitude_spectrum_factored(
-    audio_tm: jax.Array, ops: SpectrumOps
+    audio_tm: jax.Array, ops: SpectrumOps, *, prewindowed: bool = False
 ) -> jax.Array:
     """Normalised magnitude spectrum via the four-step factored DFT — the
     n > DFT_MAX_MATERIALIZE_N engine (VERDICT r3 missing #2; the role of the
@@ -517,7 +517,10 @@ def magnitude_spectrum_factored(
     precision=HIGHEST (true-f32 MXU passes, ~1e-6 relative spectral error
     vs rfft), with bfloat16 they run one bf16 pass per matmul.
 
-    Args: ``audio_tm`` (N, pop) float32/bf16. Returns (pop, num_bins) f32.
+    Args: ``audio_tm`` (N, pop) float32/bf16; ``prewindowed`` skips the
+    window multiply (the streamed synthesis kernel,
+    kernels/synth_stream.py, applies it in-VMEM). Returns
+    (pop, num_bins) f32.
     """
     f = ops.factored
     if f is None:
@@ -529,7 +532,9 @@ def magnitude_spectrum_factored(
         if ops.dft_dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    x = audio_tm.astype(jnp.float32) * ops.window[:, None]
+    x = audio_tm.astype(jnp.float32)
+    if not prewindowed:  # the streamed kernel windows in-VMEM already
+        x = x * ops.window[:, None]
 
     def one(chunk):  # (N, pc) -> (pc, num_bins)
         pc = chunk.shape[1]

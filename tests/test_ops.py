@@ -178,10 +178,18 @@ class TestSpectrum:
         assert active_engine(c, mk(c)) == "fused_kernel"
         c = cfg(13)
         assert active_engine(c, mk(c)) == "synth_fold"
-        # above the materialisation limit: the four-step factored DFT now
-        # (was the rfft fallback through round 3)
+        # above the materialisation limit: streamed Pallas synthesis into
+        # the four-step factored DFT (round 5 — was xla_dft_factored in
+        # round 4, rfft through round 3)
         c = cfg(16, pop_log2=13)
-        assert active_engine(c, mk(c)) == "xla_dft_factored"
+        assert active_engine(c, mk(c)) == "synth_stream"
+        # ...and with the fused flags off, the label is the XLA path
+        assert (
+            active_engine(
+                c.replace(fused_kernel=False, fused_generation=False), mk(c)
+            )
+            == "xla_dft_factored"
+        )
         # multi-frame STFT on the XLA path gets its own label
         c = cfg(10).replace(fused_kernel=False, fused_generation=False,
                             num_frames=4)
