@@ -532,29 +532,41 @@ def magnitude_spectrum_factored(
         if ops.dft_dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    x = audio_tm.astype(jnp.float32)
-    if not prewindowed:  # the streamed kernel windows in-VMEM already
-        x = x * ops.window[:, None]
+    # The DEFAULT-precision (bf16/int8-config) family is HBM-bound on the
+    # ~7 (N,)-sized per-candidate intermediates, and its matmuls round
+    # operands to bf16 internally anyway — so carry the operands AND the
+    # stage-1/twiddle intermediates in bf16 explicitly (halves the traffic
+    # of every stage; accumulation stays f32 via preferred_element_type).
+    # Hardware: 72.5 -> see tools/tpu_factored_probe.py. The f32 family
+    # keeps the full-f32 chain at HIGHEST.
+    cd = jnp.float32 if prec == jax.lax.Precision.HIGHEST else jnp.bfloat16
+    c1, s1n = f.c1.astype(cd), f.s1n.astype(cd)
+    tw_re, tw_imn = f.tw_re.astype(cd), f.tw_imn.astype(cd)
+    c2, s2n = f.c2.astype(cd), f.s2n.astype(cd)
+    if prewindowed:  # the streamed kernel windows in-VMEM already
+        x = audio_tm.astype(cd)
+    else:
+        x = (audio_tm.astype(jnp.float32) * ops.window[:, None]).astype(cd)
 
     def one(chunk):  # (N, pc) -> (pc, num_bins)
         pc = chunk.shape[1]
         y = chunk.reshape(n1, n2 * pc)
         dn = (((0,), (0,)), ((), ()))
         a_re = jax.lax.dot_general(
-            f.c1, y, dn, preferred_element_type=jnp.float32, precision=prec
-        ).reshape(n1, n2, pc)
+            c1, y, dn, preferred_element_type=jnp.float32, precision=prec
+        ).reshape(n1, n2, pc).astype(cd)
         a_im = jax.lax.dot_general(
-            f.s1n, y, dn, preferred_element_type=jnp.float32, precision=prec
-        ).reshape(n1, n2, pc)
-        b_re = a_re * f.tw_re[:, :, None] - a_im * f.tw_imn[:, :, None]
-        b_im = a_re * f.tw_imn[:, :, None] + a_im * f.tw_re[:, :, None]
+            s1n, y, dn, preferred_element_type=jnp.float32, precision=prec
+        ).reshape(n1, n2, pc).astype(cd)
+        b_re = a_re * tw_re[:, :, None] - a_im * tw_imn[:, :, None]
+        b_im = a_re * tw_imn[:, :, None] + a_im * tw_re[:, :, None]
         dn2 = (((1,), (0,)), ((), ()))  # contract n2 -> (N1, pc, N2//2)
         kw = dict(preferred_element_type=jnp.float32, precision=prec)
-        x_re = jax.lax.dot_general(b_re, f.c2, dn2, **kw) - jax.lax.dot_general(
-            b_im, f.s2n, dn2, **kw
+        x_re = jax.lax.dot_general(b_re, c2, dn2, **kw) - jax.lax.dot_general(
+            b_im, s2n, dn2, **kw
         )
-        x_im = jax.lax.dot_general(b_im, f.c2, dn2, **kw) + jax.lax.dot_general(
-            b_re, f.s2n, dn2, **kw
+        x_im = jax.lax.dot_general(b_im, c2, dn2, **kw) + jax.lax.dot_general(
+            b_re, s2n, dn2, **kw
         )
         mag = jnp.sqrt(x_re * x_re + x_im * x_im)  # (k1, pc, k2)
         # k = k2*N1 + k1: transpose to (pc, k2, k1) and flatten the band

@@ -220,6 +220,23 @@ class TestSpectrum:
         assert rel_err(s_f, s_r) < 1e-5
         assert s_f.shape == (16, n // 2)
 
+    def test_factored_bf16_family_close(self):
+        """The DEFAULT-precision family (bf16/int8 configs) carries the
+        factored operands AND stage-1/twiddle intermediates in bf16
+        (round 5 — the matmuls rounded operands to bf16 anyway; explicit
+        bf16 halves the HBM traffic of every stage). Stays within the
+        bf16 quantisation envelope of the exact spectrum."""
+        n = 1024
+        rng = np.random.default_rng(9)
+        audio = jnp.asarray(rng.standard_normal((n, 32)), jnp.float32)
+        so_b = ops.make_spectrum_ops(
+            n, method="dft_factored", dft_dtype=jnp.bfloat16
+        )
+        so_r = ops.make_spectrum_ops(n, method="rfft")
+        s_b = np.asarray(ops.magnitude_spectrum(audio, so_b))
+        s_r = np.asarray(ops.magnitude_spectrum(audio, so_r))
+        assert rel_err(s_b, s_r) < 2e-2
+
     def test_factored_chunking_equivalent(self, monkeypatch):
         """Population chunking (lax.map over chunks) only reshapes the
         matmul batch, so results match to f32 round-off (the reduction

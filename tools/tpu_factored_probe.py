@@ -9,11 +9,10 @@ Times, in separate compiled loops on the real chip:
   3. window+spectrum+fitness (the evaluate tail)
   4. one full generation (reference composition)
 
-plus the factored intermediates' bf16 variant (--bf16-intermediates):
-casting the (N1, N2, pc) twiddle-stage tensors to bf16 halves the
-bandwidth of the elementwise stage the DEFAULT matmuls already quantise
-to (VERDICT r4 weak #6 candidate — only worth landing if stage 2 shows
-the twiddle/intermediate traffic actually dominates).
+plus (round 5) the streamed hybrid kernels/synth_stream.py — Pallas
+synthesis+window feeding the factored DFT — timed standalone, as the
+full fitness pipeline, and as the full generation against the round-4
+XLA composition, with a spectra parity check on shared candidates.
 
 Usage: JAX_COMPILATION_CACHE_DIR=.jax_tpu_cache timeout 590 \
     python tools/tpu_factored_probe.py [--log2 16] [--pop-log2 13]
@@ -95,8 +94,12 @@ def main(argv=None):
         ) * 1e3
         print(f"synthesis scanless ({dt_name} out): {ms:8.1f} ms", flush=True)
 
-    audio = synthesize(params, n, cfg.topology, engine="scanless",
-                       out_dtype=jnp.float32)
+    # jit the build: the eager form keeps every (N, pop) scanless
+    # intermediate alive as its own buffer and OOMs HBM at n=65536/2^13
+    audio = jax.jit(
+        lambda p: synthesize(p, n, cfg.topology, engine="scanless",
+                             out_dtype=jnp.float32)
+    )(params)
 
     # 2. factored spectrum alone, DEFAULT vs HIGHEST matmul precision
     so_f32 = make_spectrum_ops(cfg.replace(dft_dtype="float32"))
@@ -115,20 +118,66 @@ def main(argv=None):
     ) * 1e3
     print(f"spectrum+fitness: {ms:8.1f} ms", flush=True)
 
-    # 4. full generation
-    @jax.jit
-    def run(k):
-        st = init_state(k, cfg)
-        fin, _ = evolve(st, tspec, args.gens, so, cfg)
-        return fin.best_fitness
+    # 3b. the round-5 streamed hybrid (kernels/synth_stream.py): Pallas
+    # synthesis+window, then the factored DFT on the prewindowed audio
+    from pmfm_tpu.kernels.synth_stream import fused_synth_stream
 
-    device_sync(run(key))
-    t0 = time.perf_counter()
-    device_sync(run(key))
-    per_gen = (time.perf_counter() - t0) / args.gens * 1e3
-    print(f"full generation: {per_gen:8.1f} ms/gen "
-          f"({pop * args.gens / (per_gen * args.gens / 1e3) / 1e6:.2f}M evals/s)",
-          flush=True)
+    def stream(p, audio_f32=False):
+        return fused_synth_stream(
+            p, so.window, topology=cfg.topology, n=n, pop_block=cfg.pop_block,
+            sine_order=cfg.sine_order, audio_f32=audio_f32,
+        )
+
+    ms = timed_loop(stream, params) * 1e3
+    print(f"stream synthesis (bf16): {ms:8.1f} ms", flush=True)
+    ms = timed_loop(
+        lambda p: spectral_fitness(
+            magnitude_spectrum_factored(stream(p), so, prewindowed=True),
+            tspec,
+        ),
+        params,
+    ) * 1e3
+    print(f"stream synth+spectrum+fitness: {ms:8.1f} ms", flush=True)
+
+    # parity: streamed engine vs the XLA path on the same candidates
+    sub = params[:1024]
+    got = np.asarray(
+        magnitude_spectrum_factored(stream(sub), so, prewindowed=True)
+    )
+    ref = np.asarray(
+        magnitude_spectrum_factored(
+            synthesize(sub, n, cfg.topology, engine="scanless",
+                       out_dtype=jnp.float32),
+            so,
+        )
+    )
+    rel = np.linalg.norm(got - ref, axis=1) / (
+        np.linalg.norm(ref, axis=1) + 1e-30
+    )
+    print(f"stream-vs-XLA spectra rel err: median {np.median(rel):.2e} "
+          f"p95 {np.percentile(rel, 95):.2e}", flush=True)
+
+    # 4. full generation — the gate now routes to synth_stream; the fused
+    # flags off give the round-4 XLA composition for comparison
+    from pmfm_tpu.es.strategy import active_engine
+
+    for label, c in (
+        ("full generation [" + active_engine(cfg, so) + "]", cfg),
+        ("full generation [xla]",
+         cfg.replace(fused_kernel=False, fused_generation=False)),
+    ):
+        @jax.jit
+        def run(k, c=c):
+            st = init_state(k, c)
+            fin, _ = evolve(st, tspec, args.gens, so, c)
+            return fin.best_fitness
+
+        device_sync(run(key))
+        t0 = time.perf_counter()
+        device_sync(run(key))
+        per_gen = (time.perf_counter() - t0) / args.gens * 1e3
+        print(f"{label}: {per_gen:8.1f} ms/gen "
+              f"({pop / per_gen / 1e3:.2f}M evals/s)", flush=True)
     return 0
 
 
