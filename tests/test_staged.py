@@ -152,6 +152,39 @@ class TestPursuitEndToEnd:
         with pytest.raises(ValueError, match="fm{k}_parallel"):
             match_parallel_pursuit(np.zeros(512, np.float32), cfg)
 
+    def test_fm2_routes_as_one_pair_bank(self):
+        """fm2 shares the pair gene layout (fm, index, fc, amp), so the
+        pursuit wrapper treats it as k=1: no peel, whole-problem tail,
+        alias jumps live (the huge-frame direct ES locks onto the folded
+        comb |fc-fm| — examples/huge_frame_match.json)."""
+        from pmfm_tpu.ops import synthesize_single
+        from pmfm_tpu.ops.spectral import target_spectrum
+        from pmfm_tpu.ops.synthesis import scale_params
+        from pmfm_tpu.es import make_spectrum_ops
+
+        cfg = ESConfig(
+            num_parents=4, num_offspring=124, num_dimensions=4,
+            topology="fm2", audio_length_log2=9,
+            param_mins=(0.0,) * 4, param_maxs=(3520.0, 8.0, 3520.0, 1.0),
+            synthesis_engine="scanless", refine_generations=0,
+        )
+        genes = jnp.asarray([0.62, 0.3, 0.48, 0.8])
+        scaled = scale_params(
+            genes[None], jnp.asarray(cfg.param_mins),
+            jnp.asarray(cfg.param_maxs),
+        )[0]
+        audio = synthesize_single(scaled, cfg.n_samples, cfg.topology)
+        r = match_parallel_pursuit(
+            np.asarray(audio), cfg, key=0,
+            stage_population=256, tail_generations=20, tail_tries=1,
+            alias_rounds=1, alias_generations=5, joint_generations=10,
+        )
+        assert r.best_values.shape == (4,)
+        so = make_spectrum_ops(cfg)
+        silence = float(jnp.sum(target_spectrum(audio, so) ** 2))
+        assert 0 <= r.best_fitness <= silence
+        assert r.stage_fitness.shape == (1,)  # k=1: tail only, no peel
+
     def test_k3_runs_peel_then_tail(self):
         from pmfm_tpu.ops import synthesize_single
         from pmfm_tpu.ops.synthesis import scale_params

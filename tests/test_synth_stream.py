@@ -128,6 +128,32 @@ class TestStreamParity:
         scale = np.abs(whole).max()
         assert np.abs(chunked - whole).max() <= 5e-5 * scale
 
+    def test_vmap_structurally_correct(self):
+        """jax.vmap of the streamed kernel (the pallas batching rule adds
+        a leading grid axis) must agree with sequential calls on mild
+        candidates — full-range deep chains amplify the batched-dot
+        reassociation ULPs, same as chunking (stream_chunk docstring).
+        The staged solver vmaps this kernel in its alias-polish batches."""
+        from pmfm_tpu.kernels.synth_stream import fused_synth_stream
+
+        n = 2048
+        rng = np.random.default_rng(1)
+        maxs = np.asarray([3520, 0.5, 3520, 0.5, 3520, 8], np.float32)
+        batch = jnp.asarray(
+            rng.uniform(0.1, 0.9, (2, 64, 6)).astype(np.float32) * maxs
+        )
+        so = spectral.make_spectrum_ops(
+            n, method="dft_factored", dft_dtype=jnp.float32
+        )
+        f = lambda p: fused_synth_stream(  # noqa: E731
+            p, so.window, topology="fm3_series", n=n, pop_block=64,
+            interpret=True, audio_f32=True,
+        )
+        seq = jnp.stack([f(batch[0]), f(batch[1])])
+        vm = jax.vmap(f)(batch)
+        scale = float(jnp.abs(seq).max())
+        assert float(jnp.abs(seq - vm).max()) <= 1e-4 * scale
+
 
 class TestStreamGate:
     def _cfg(self, **kw):
