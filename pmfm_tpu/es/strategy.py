@@ -297,9 +297,11 @@ def _synth_fold_ok(cfg: ESConfig, spectrum_ops: spectral.SpectrumOps) -> bool:
         and cfg.n_samples % (2 * TIME_BLOCK) == 0
         # above kernels/synth_fold.LOOPED_ABOVE_N the kernel switches its
         # time loop to an in-kernel fori_loop (compile time flat in n,
-        # where the unrolled body took >10 min at n=16384); the remaining
-        # bound is the (N/2, PB) output-block VMEM budget via
-        # fold_pop_block below (bf16 n=32768 fails it -> folded XLA)
+        # where the unrolled body took >10 min at n=16384); the top of the
+        # hybrid's range is spectral.DFT_MAX_MATERIALIZE_N (16384 since
+        # round 5: the streamed+factored engine measured faster at 32768,
+        # 120.3 vs 139.8 ms/gen, so dft_packed is None there and this
+        # gate turns off through the method resolution)
         and cfg.n_samples <= 32768
     ):
         return False

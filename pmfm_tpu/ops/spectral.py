@@ -61,9 +61,14 @@ AUTO_DFT_MAX_N = 4096
 # "dft" is requested explicitly: the (N, K)+(2K, N/2) operand set is
 # O(N^2) bytes (n=32768 ~ 2.7 GB on-device; n=65536 would be ~11 GB,
 # over the v5e HBM budget before any audio exists). Above this the
-# request silently degrades to "rfft" — same contract as the int8
-# engine's documented bf16 degradation on unsupported paths.
-DFT_MAX_MATERIALIZE_N = 32768
+# request resolves to the factored engine (or rfft when non-factorable) —
+# same contract as the int8 engine's documented bf16 degradation on
+# unsupported paths. Round 5: lowered 32768 -> 16384 after the
+# whole-generation crossover measurement — at n=32768 the streamed
+# synthesis + factored DFT beats the synth_fold + folded-operand engine
+# 120.3 vs 139.8 ms/gen (pop 2^15, hardware 2026-08-22), and the ~2-min
+# host trig build + multi-GB operand disappear at that size with it.
+DFT_MAX_MATERIALIZE_N = 16384
 
 
 def hann_window(n: int) -> np.ndarray:

@@ -115,7 +115,10 @@ class TestSpectrum:
         big = ops.make_spectrum_ops(1 << 16, method="dft")
         assert big.method == "dft_factored" and big.dft_cos is None
         assert big.factored is not None and big.factored.n1 == 256
-        assert spectral.DFT_MAX_MATERIALIZE_N == 32768
+        # 16384 since round 5: at 32768 the streamed+factored engine beats
+        # the folded-operand engine (120.3 vs 139.8 ms/gen, hardware), so
+        # the 2.7 GB operand is never worth materialising
+        assert spectral.DFT_MAX_MATERIALIZE_N == 16384
         # a non-factorable band request falls back to rfft (explicit dft
         # warns: that one IS a numerics change)
         with pytest.warns(UserWarning, match="rfft"):
@@ -538,17 +541,19 @@ class TestSynthFoldLooped:
         so = make_spectrum_ops(cfg)
         assert not _fused_ok(cfg, so)
         assert _synth_fold_ok(cfg, so)
-        # at a real population the PB floor (128 lanes) binds: bf16 n=32768
-        # block pairs can't fit the budget -> folded-XLA fallback; int8 fits
-        big_bf16 = cfg.replace(
-            audio_length_log2=15, dft_dtype="bfloat16",
-            num_parents=32, num_offspring=992,
-        )
-        assert not _synth_fold_ok(big_bf16, make_spectrum_ops(big_bf16))
+        # n=32768 no longer materialises the folded operand (round 5:
+        # DFT_MAX_MATERIALIZE_N dropped to 16384 on the crossover
+        # measurement) — the hybrid hands over to the streamed+factored
+        # engine there for every dtype
+        from pmfm_tpu.es.strategy import _synth_stream_ok
+
         big_int8 = cfg.replace(
             audio_length_log2=15, num_parents=32, num_offspring=992
         )
-        assert _synth_fold_ok(big_int8, make_spectrum_ops(big_int8))
+        so_big = make_spectrum_ops(big_int8)
+        assert so_big.method == "dft_factored"
+        assert not _synth_fold_ok(big_int8, so_big)
+        assert _synth_stream_ok(big_int8, so_big)
 
         rng = np.random.default_rng(2)
         genes = jnp.asarray(rng.uniform(0.1, 0.9, (64, 6)).astype(np.float32))
